@@ -1,0 +1,80 @@
+"""Connected-components canonicalization (S6).
+
+Iterative min-label propagation expressed as DataFrame hash joins —
+the standard large-graph CC shape (alternating join + min-aggregate),
+bounded by O(log n) rounds on path graphs and O(diameter) in general.
+
+Scale notes (SURVEY.md §4.2-1):
+  * `localCheckpoint(eager=True)` every iteration truncates lineage so
+    the plan doesn't grow unboundedly (iterative DataFrame jobs otherwise
+    re-derive the entire history each round).
+  * convergence is a `count()` of changed labels per round; iterations
+    are additionally capped.
+  * With exact-name-only similarity edges the edge list contains only
+    self-pairs, the loop converges immediately, and canonical_id == name
+    — reproducing the reference's exact-name MERGE semantics 1:1
+    (neo4j_store.py:90), which is what the P/R gate runs under.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    names: DataFrame,
+    sim_edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """names(name) + sim_edges(name_a, name_b) -> canonical(name, canonical_id).
+
+    canonical_id is the lexicographic minimum name of the component —
+    deterministic under any parallelism / cluster size.
+    """
+    # undirected: propagate both ways
+    edges = (
+        sim_edges.select(
+            F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+        )
+        .union(
+            sim_edges.select(
+                F.col("name_b").alias("src"), F.col("name_a").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = names.select(
+        F.col("name"), F.col("name").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    if edges.isEmpty():
+        return labels.select("name", F.col("comp").alias("canonical_id"))
+
+    edges = edges.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["name"])
+            .groupBy(F.col("dst").alias("name2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["name"] == neighbor_min["name2"], "left"
+            )
+            .select(
+                "name",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = new_labels.select("name", "comp")
+        if changed == 0:
+            break
+
+    return labels.select("name", F.col("comp").alias("canonical_id"))

@@ -1,0 +1,200 @@
+"""Pipeline orchestration: S1..S7 as a linear DAG of stage jobs.
+
+Two modes:
+
+  * `build_kg_frames(spark, pages)` — in-memory: returns every stage as
+    a DataFrame (lazy; single-action consumers like tests/queries decide
+    what to materialize). No writes.
+
+  * `Pipeline(warehouse).run(spark, pages, corpus_id)` — checkpointed:
+    each stage commits a TableIO snapshot keyed on its input snapshot id
+    and appends per-partition lineage rows (stage, partition_id, n_rows,
+    n_urls, duration_ms, run_id) — the north rule's resumable-with-
+    lineage contract. A re-run with the same corpus_id skips every stage
+    whose (table, input_snapshot) pair is already committed.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import cc, linking, stages
+from .io import TableIO
+
+LINEAGE_DDL = (
+    "stage string, partition_id int, run_id string, n_rows long, "
+    "n_urls long, duration_ms long, input_snapshot string"
+)
+
+
+def build_kg_frames(
+    spark: SparkSession,
+    pages: DataFrame,
+    link_mode: str = "exact",
+    salt: int = 0,
+    chunk_size: int = 500,
+    chunk_overlap: int = 100,
+    embed_dim: int = 64,
+    cache: bool = True,
+) -> dict[str, DataFrame]:
+    """Full S1→S7 DAG, in memory. `extracted` is cached (when requested)
+    because mentions/edges/linking all branch from it — one extractor
+    pass, many consumers."""
+    docs = stages.extract_text(pages)
+    chunks = stages.chunk(docs, chunk_size, chunk_overlap)
+    if cache:
+        chunks = chunks.persist()
+    embeddings = stages.embed(chunks, embed_dim)
+    extracted = stages.extract(chunks)
+    if cache:
+        extracted = extracted.persist()
+    mentions = stages.mentions_of(extracted)
+    raw_edges = stages.raw_edges_of(extracted)
+    sim_edges = linking.similarity_edges(mentions, mode=link_mode)
+    names = mentions.select("name").distinct()
+    canonical = cc.connected_components(names, sim_edges)
+    kg_nodes = stages.dedup_nodes(mentions, canonical)
+    kg_edges = stages.materialize_edges(raw_edges, kg_nodes, canonical, salt=salt)
+    return {
+        "docs": docs,
+        "chunks": chunks,
+        "embeddings": embeddings,
+        "extracted": extracted,
+        "mentions": mentions,
+        "raw_edges": raw_edges,
+        "sim_edges": sim_edges,
+        "canonical": canonical,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+    }
+
+
+def _lineage_rows(df: DataFrame, stage: str, run_id: str,
+                  input_snapshot: str | None, duration_ms: int) -> DataFrame:
+    """Per-partition lineage: row + url counts by spark_partition_id()."""
+    has_url = "url" in df.columns
+    agg = [F.count(F.lit(1)).alias("n_rows")]
+    agg.append(
+        F.countDistinct("url").alias("n_urls") if has_url
+        else F.lit(-1).cast("long").alias("n_urls")
+    )
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(*agg)
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("partition_id"),
+            F.lit(run_id).alias("run_id"),
+            F.col("n_rows"),
+            F.col("n_urls"),
+            F.lit(duration_ms).cast("long").alias("duration_ms"),
+            F.lit(input_snapshot).alias("input_snapshot"),
+        )
+    )
+
+
+class Pipeline:
+    """Checkpointed, resumable stage driver over a TableIO warehouse."""
+
+    STAGES = [
+        # (table, builder input tables)
+        ("docs", ["pages"]),
+        ("chunks", ["docs"]),
+        ("embeddings", ["chunks"]),
+        ("extracted", ["chunks"]),
+        ("canonical", ["extracted"]),
+        ("kg_nodes", ["extracted", "canonical"]),
+        ("kg_edges", ["extracted", "kg_nodes", "canonical"]),
+    ]
+
+    def __init__(
+        self,
+        warehouse: str,
+        link_mode: str = "exact",
+        salt: int = 0,
+        chunk_size: int = 500,
+        chunk_overlap: int = 100,
+        embed_dim: int = 64,
+    ):
+        self.io = TableIO(warehouse)
+        self.link_mode = link_mode
+        self.salt = salt
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+        self.embed_dim = embed_dim
+
+    # stage builders -------------------------------------------------------
+    def _build(self, spark: SparkSession, table: str) -> DataFrame:
+        rd = lambda t: self.io.read(spark, t)  # noqa: E731
+        if table == "docs":
+            return stages.extract_text(rd("pages"))
+        if table == "chunks":
+            return stages.chunk(rd("docs"), self.chunk_size, self.chunk_overlap)
+        if table == "embeddings":
+            return stages.embed(rd("chunks"), self.embed_dim)
+        if table == "extracted":
+            return stages.extract(rd("chunks"))
+        if table == "canonical":
+            mentions = stages.mentions_of(rd("extracted"))
+            sim = linking.similarity_edges(mentions, mode=self.link_mode)
+            return cc.connected_components(
+                mentions.select("name").distinct(), sim
+            )
+        if table == "kg_nodes":
+            return stages.dedup_nodes(
+                stages.mentions_of(rd("extracted")), rd("canonical")
+            )
+        if table == "kg_edges":
+            return stages.materialize_edges(
+                stages.raw_edges_of(rd("extracted")),
+                rd("kg_nodes"),
+                rd("canonical"),
+                salt=self.salt,
+            )
+        raise KeyError(table)
+
+    def run(
+        self,
+        spark: SparkSession,
+        pages: DataFrame | None,
+        corpus_id: str,
+        run_id: str = "r0",
+    ) -> dict[str, str]:
+        """Execute (or resume) the DAG. Returns {table: snapshot_id}.
+
+        `corpus_id` is the caller's deterministic identity for the input
+        corpus (e.g. "pages:n=500:seed=42"); stages are skipped when a
+        snapshot for the same input chain already exists.
+        """
+        snaps: dict[str, str] = {}
+        skipped: list[str] = []
+
+        existing = self.io.find_snapshot("pages", corpus_id)
+        if existing is not None:
+            snaps["pages"] = existing
+            skipped.append("pages")
+        else:
+            if pages is None:
+                raise ValueError("pages DataFrame required for a fresh run")
+            snaps["pages"] = self.io.commit("pages", pages, corpus_id)
+
+        for table, inputs in self.STAGES:
+            input_key = ",".join(f"{t}:{snaps[t]}" for t in inputs)
+            existing = self.io.find_snapshot(table, input_key)
+            if existing is not None:
+                snaps[table] = existing
+                skipped.append(table)
+                continue
+            t0 = time.monotonic()
+            df = self._build(spark, table)
+            snaps[table] = self.io.commit(table, df, input_key)
+            dur_ms = int((time.monotonic() - t0) * 1000)
+            lineage = _lineage_rows(
+                self.io.read(spark, table, snaps[table]),
+                table, run_id, input_key, dur_ms,
+            )
+            self.io.commit("_lineage", lineage, f"{table}:{snaps[table]}")
+        self.last_skipped = skipped
+        return snaps

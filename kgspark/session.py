@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's pinned configs.
+
+Scale posture (SURVEY.md §4.2): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (every Python stage is
+vectorized), shuffle partitions sized to the machine rather than the
+200 default. On a real cluster the same builder is driven by
+spark-submit --conf overrides; nothing here is local-mode-specific
+except the master default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kgspark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("KGSPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("KGSPARK_SHUFFLE_PARTITIONS", "32")
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
