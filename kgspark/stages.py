@@ -40,11 +40,6 @@ from .textops import (
 # S1 — HTML -> text (vectorized; byte-identical per url vs oracle)
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf("string")
-def _html_to_text_udf(html: pd.Series) -> pd.Series:
-    return html.map(html_to_text)
-
-
 def extract_text(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> + text (extracted).
 
@@ -52,8 +47,13 @@ def extract_text(pages: DataFrame) -> DataFrame:
     contract, FIXTURES.md §1). Replaces reference O1
     (src/processors/pdf_reader.py:9-45) with a columnar scan + Arrow UDF.
     """
+
+    @F.pandas_udf("string")
+    def html_to_text_udf(html: pd.Series) -> pd.Series:
+        return html.map(html_to_text)
+
     return pages.withColumn(
-        "text", F.coalesce(_html_to_text_udf(F.col("html")), F.col("text"))
+        "text", F.coalesce(html_to_text_udf(F.col("html")), F.col("text"))
     ).select("url", "warc_ts", "text", "lang")
 
 
@@ -219,10 +219,16 @@ def dedup_nodes(mentions: DataFrame, canonical: DataFrame | None = None) -> Data
     """
     m = mentions
     if canonical is not None:
+        # rename before joining: canonical derives from the same mentions
+        # lineage, so unaliased name==name would be a trivially-true
+        # self-join predicate
+        cmap = canonical.select(
+            F.col("name").alias("__cn"), F.col("canonical_id").alias("__cid")
+        )
         m = (
-            m.join(canonical, m["name"] == canonical["name"], "left")
+            m.join(cmap, m["name"] == cmap["__cn"], "left")
             .select(
-                F.coalesce(canonical["canonical_id"], m["name"]).alias("cname"),
+                F.coalesce(F.col("__cid"), m["name"]).alias("cname"),
                 m["name"].alias("name"),
                 "url", "chunk_index", "labels", "properties",
             )
@@ -267,37 +273,38 @@ def endpoint_filter(
     when the name table is too big to broadcast. AQE skew-join stays on
     as backstop either way.
     """
-    names = node_names.select(F.col("name").alias("__n"))
     if salt > 1:
-        salted = names.crossJoin(
-            F.broadcast(
-                names.sparkSession.range(salt).select(
-                    F.col("id").cast("int").alias("__salt")
-                )
+        salt_range = F.broadcast(
+            node_names.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("__s")
             )
+        )
+        salted_src = node_names.select(F.col("name").alias("__sn")).crossJoin(
+            salt_range.select(F.col("__s").alias("__ss"))
+        )
+        salted_tgt = node_names.select(F.col("name").alias("__tn")).crossJoin(
+            salt_range.select(F.col("__s").alias("__ts"))
         )
         probe = edges.withColumn(
             "__salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt)).cast("int")
         )
-        out = (
-            probe.join(
-                salted,
-                (probe["source"] == salted["__n"])
-                & (probe["__salt"] == salted["__salt"]),
-                "left_semi",
-            )
-            .join(
-                salted,
-                (F.col("target") == salted["__n"])
-                & (F.col("__salt") == salted["__salt"]),
-                "left_semi",
-            )
-            .drop("__salt")
+        step1 = probe.join(
+            salted_src,
+            (probe["source"] == salted_src["__sn"])
+            & (probe["__salt"] == salted_src["__ss"]),
+            "left_semi",
         )
-        return out
+        return step1.join(
+            salted_tgt,
+            (step1["target"] == salted_tgt["__tn"])
+            & (step1["__salt"] == salted_tgt["__ts"]),
+            "left_semi",
+        ).drop("__salt")
+    names_src = node_names.select(F.col("name").alias("__sn"))
+    names_tgt = node_names.select(F.col("name").alias("__tn"))
     return edges.join(
-        names, edges["source"] == names["__n"], "left_semi"
-    ).join(names, edges["target"] == names["__n"], "left_semi")
+        names_src, edges["source"] == names_src["__sn"], "left_semi"
+    ).join(names_tgt, F.col("target") == names_tgt["__tn"], "left_semi")
 
 
 def materialize_edges(
