@@ -54,12 +54,13 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
+        # (1) neighbor-min propagation
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["name"])
             .groupBy(F.col("dst").alias("name2"))
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(
                 neighbor_min, labels["name"] == neighbor_min["name2"], "left"
             )
@@ -69,6 +70,22 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                 ).alias("comp"),
                 F.col("comp").alias("old_comp"),
+            )
+        )
+        # (2) pointer jump (path compression): comp <- comp(comp).
+        # Turns O(diameter) rounds into O(log diameter) — the reason a
+        # billion-node similarity graph converges in ~a dozen rounds.
+        parent = stepped.select(
+            F.col("name").alias("__pname"), F.col("comp").alias("__pcomp")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["comp"] == parent["__pname"], "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__pcomp"), F.col("comp"))
+                ).alias("comp"),
+                "old_comp",
             )
             .localCheckpoint(eager=True)
         )

@@ -180,6 +180,7 @@ class Pipeline:
                 raise ValueError("pages DataFrame required for a fresh run")
             snaps["pages"] = self.io.commit("pages", pages, corpus_id)
 
+        lineage_parts = []
         for table, inputs in self.STAGES:
             input_key = ",".join(f"{t}:{snaps[t]}" for t in inputs)
             existing = self.io.find_snapshot(table, input_key)
@@ -191,10 +192,20 @@ class Pipeline:
             df = self._build(spark, table)
             snaps[table] = self.io.commit(table, df, input_key)
             dur_ms = int((time.monotonic() - t0) * 1000)
-            lineage = _lineage_rows(
-                self.io.read(spark, table, snaps[table]),
-                table, run_id, input_key, dur_ms,
+            lineage_parts.append(
+                _lineage_rows(
+                    self.io.read(spark, table, snaps[table]),
+                    table, run_id, input_key, dur_ms,
+                )
             )
-            self.io.commit("_lineage", lineage, f"{table}:{snaps[table]}")
+        if lineage_parts:
+            lineage = lineage_parts[0]
+            for part in lineage_parts[1:]:
+                lineage = lineage.unionByName(part)
+            if self.io.current_snapshot("_lineage") is not None:
+                lineage = lineage.unionByName(
+                    self.io.read(spark, "_lineage")
+                )  # cumulative log across runs/resumes
+            self.io.commit("_lineage", lineage, run_id)
         self.last_skipped = skipped
         return snaps
