@@ -1,0 +1,399 @@
+"""Large-scale training-data pipeline operators over the `documents`
+and `embeddings` tables — first-class components alongside the KG
+stages: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force + IVF-bucketed ANN), and text analysis
+(language-ID, quality scoring, token counting, fingerprinting).
+
+Design rules:
+  * every SQL-expressible operator stays 100% JVM-side (built-in
+    functions only) so it is Catalyst-optimized AND cross-checkable
+    against a DuckDB oracle;
+  * near-dup candidate generation never enumerates O(n^2) pairs — LSH
+    band buckets / IVF cells key the only shuffle;
+  * Python appears only where vectorization genuinely needs it
+    (SimHash bit-packing), always as an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# normalization / fingerprinting / token stats (all JVM-side)
+# ---------------------------------------------------------------------------
+
+def norm_text(col):
+    """Whitespace-collapsed, lowercased, trimmed text — the shared
+    normalization for fingerprints and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return documents.select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword proxy
+    (runs of letters, digits, or single punctuation marks)."""
+    t = F.col("text")
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    # number of regex matches == size(split-by-pattern) - 1; identical
+    # trick works in the DuckDB oracle (len(regexp_split_to_array)-1)
+    bpe_tokens = F.size(F.split(F.lower(t), r"[a-z]+|[0-9]+|[^a-z0-9\s]", -1)) - 1
+    return documents.select(
+        "doc_id",
+        F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(ws_tokens)
+        .cast("bigint").alias("n_ws_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        bpe_tokens.cast("bigint").alias("n_bpe_pieces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact deduplication by content hash: one representative (min
+    doc_id) per normalized-text fingerprint + duplicate count.
+    Hash-groupBy with map-side partial agg — the scale-canonical shape."""
+    return (
+        documents.select(
+            F.md5(norm_text(F.col("text"))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over word shingles (JVM-side; no MLlib)
+# ---------------------------------------------------------------------------
+
+def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document, built with JVM functions:
+    split -> sliding window via transform over an index sequence."""
+    words = F.split(norm_text(F.col("text")), " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    return documents.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def minhash_near_dup(
+    documents: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash signatures -> banded buckets -> candidate pairs ->
+    exact-Jaccard verification. Identical algorithmic shape to
+    kgspark.linking.lsh_candidate_edges but over documents; the bucket
+    join is the only shuffle touching pairs."""
+    rows_per_band = n_hashes // bands
+    sh = word_shingles(documents, shingle_n)
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+
+    left = buckets.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    right = buckets.select(
+        F.col("band").alias("band2"), F.col("sig").alias("sig2"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    cands = (
+        left.join(
+            right,
+            (left["band"] == right["band2"])
+            & (left["sig"] == right["sig2"])
+            & (left["doc_a"] < right["doc_b"]),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return ngram_jaccard(cands, sh, threshold)
+
+
+def ngram_jaccard(
+    candidate_pairs: DataFrame, shingles: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs: two shingle joins
+    for the intersection, a size join for the union."""
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidate_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (Arrow-batched pandas UDF for the bit packing)
+# ---------------------------------------------------------------------------
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens. The per-token hashing +
+    bit-vote accumulation is numpy inside a pandas UDF (Arrow batches;
+    no per-row Python boundary crossings)."""
+    import numpy as np  # noqa: PLC0415
+
+    @F.pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        import hashlib  # noqa: PLC0415
+
+        out = []
+        for t in texts:
+            votes = np.zeros(bits, dtype=np.int64)
+            for tok in (t or "").lower().split():
+                d = hashlib.md5(tok.encode("utf-8")).digest()
+                h = int.from_bytes(d[:8], "big")
+                bs = np.unpackbits(
+                    np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+                ).astype(np.int64)
+                votes += 2 * bs - 1
+            sig = 0
+            for b in votes >= 0:
+                sig = (sig << 1) | int(b)
+            out.append(sig - (1 << bits) if sig >= (1 << (bits - 1)) else sig)
+        return pd.Series(out, dtype="int64")
+
+    return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_near_dup(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash blocking: split the 64-bit signature into max_hamming+1
+    16-bit bands — any pair within the Hamming radius shares at least
+    one exact band (pigeonhole). Band-bucket join + exact popcount check."""
+    sh = simhash(documents).localCheckpoint(eager=True)
+    n_bands = max_hamming + 1
+    band_width = 64 // n_bands
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * band_width
+                        ).bitwiseAND(F.lit((1 << band_width) - 1)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    right = banded.select(
+        F.col("band").alias("band2"), F.col("key").alias("key2"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    pairs = (
+        banded.join(
+            right,
+            (banded["band"] == right["band2"])
+            & (banded["key"] == right["key2"])
+            & (banded["doc_id"] < right["doc_b"]),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"), "doc_b",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def brute_force_ann(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Baseline ANN: exact cosine top-k over the full table
+    (TakeOrderedAndProject; one narrow scan)."""
+    from .query import cosine_score  # noqa: PLC0415
+
+    return (
+        embeddings.select(
+            "vec_id", cosine_score(F.col("embedding"), query_vec).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """IVF cell assignment: argmax cosine over a broadcast literal
+    centroid array — the scale path for ANN (search only the probed
+    cells instead of the full table)."""
+    from .query import cosine_score  # noqa: PLC0415
+
+    scores = F.array(
+        *[cosine_score(F.col("embedding"), c) for c in centroids]
+    )
+    return embeddings.select(
+        "vec_id", "embedding",
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cell"),
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed ANN: score centroids against the query on the
+    driver (tiny), then exact cosine only inside the n_probe nearest
+    cells. Partition-prunable when the assignment table is written
+    partitioned by cell."""
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5 or 1.0
+        nb = sum(x * x for x in b) ** 0.5 or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )[:n_probe]
+    assigned = ivf_assign(embeddings, centroids)
+    from .query import cosine_score  # noqa: PLC0415
+
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(
+            "vec_id", cosine_score(F.col("embedding"), query_vec).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID + quality scoring (JVM-side)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _marker_hits(text_col, markers: list[str]):
+    """Occurrences of any marker as a whole token, JVM-side: tokenize
+    on non-alphanumeric runs, count tokens in the marker set. (A
+    separator-consuming count regex would miss adjacent markers and
+    behaves differently across regex engines — token filtering is
+    engine-portable and exact.)"""
+    tokens = F.split(F.lower(text_col), r"[^a-z0-9一-鿿]+", -1)
+    markers_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(tokens, lambda x: F.array_contains(markers_arr, x))
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit
+    counts. The argmax is an explicit greatest/when chain (deterministic
+    tie-break: first language in sorted order wins) so the exact same
+    logic is expressible as the DuckDB oracle SQL."""
+    langs = sorted(LANG_MARKERS)
+    hit_cols = {
+        lang: _marker_hits(F.col("text"), LANG_MARKERS[lang]) for lang in langs
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(hit_cols[langs[0]] == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return documents.select(
+        "doc_id", "lang",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("marker_hits"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Quality heuristics: char length, punctuation ratio, stopword
+    ratio, mean word length — the standard pretraining-filter features."""
+    t = F.col("text")
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.!?,;:'\"()\-]", ""))
+    stop_hits = _marker_hits(t, LANG_MARKERS["en"])
+    return documents.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 6
+        ).alias("mean_word_len"),
+    )

@@ -1,0 +1,214 @@
+"""Query-side operators — the GraphRAG analog over materialized tables
+(SURVEY.md §3.2), no LLM: hybrid retrieval = cosine top-k ∪ keyword
+top-k with weighted fusion, then bounded graph expansion.
+
+All scoring is JVM-side column arithmetic (aggregate/zip_with for the
+dot product, TakeOrderedAndProject for top-k) — no Python in the hot
+path. The query vector is a literal, so the top-k scan is a single
+narrow pass over the embeddings table with no shuffle before the final
+ordered take.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import KEYWORD_WEIGHT, MAX_DEPTH, TOP_K, VECTOR_WEIGHT
+
+
+def cosine_score(vec_col, query_vec: list[float]):
+    """cosine(embedding, q) as a codegen'd column expression."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    norm_q = float(sum(x * x for x in query_vec) ** 0.5) or 1.0
+    return F.when(norm_v > 0, dot / (norm_v * F.lit(norm_q))).otherwise(F.lit(0.0))
+
+
+def vector_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    id_col: str = "chunk_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k (reference O19, qdrant_store.py:80-105).
+    orderBy(desc).limit(k) compiles to TakeOrderedAndProject — no full
+    sort, no shuffle of the scored rows beyond the per-partition heap."""
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine_score(F.col(vec_col), query_vec).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def keyword_scores(
+    chunks: DataFrame,
+    query: str,
+    k: int = TOP_K,
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword top-k (reference O20, elasticsearch_store.py:138-178),
+    approximated as summed term frequency of the query's tokens
+    (fuzziness dropped — documented divergence, SURVEY.md O20).
+    Inverted-index shape: explode(split(lower(text))) -> term join ->
+    tf sum. Term list is tiny -> broadcast join."""
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        return chunks.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
+    spark = chunks.sparkSession
+    terms_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    )
+    tokens = chunks.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        tokens.join(terms_df, "term")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def normalize_vector_score(col):
+    """(1+s)/2 clamped to [0,1] — graphrag.py:164-168."""
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), (F.lit(1.0) + col) / 2.0))
+
+
+def normalize_keyword_score(col):
+    """s/10 clamped to [0,1] — graphrag.py:164-168."""
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), col / 10.0))
+
+
+def fuse(
+    vector_hits: DataFrame,
+    keyword_hits: DataFrame,
+    k: int = TOP_K,
+    vector_weight: float = VECTOR_WEIGHT,
+    keyword_weight: float = KEYWORD_WEIGHT,
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """Hybrid fusion (reference O22, graphrag.py:117-162): full-outer
+    join on chunk_id, normalize each side, combined = v*0.7 + k*0.3,
+    top-k desc. Missing side contributes 0."""
+    v = vector_hits.select(
+        F.col(id_col), normalize_vector_score(F.col("score")).alias("vector_score")
+    )
+    kw = keyword_hits.select(
+        F.col(id_col).alias("__kid"),
+        normalize_keyword_score(F.col("score")).alias("keyword_score"),
+    )
+    return (
+        v.join(kw, v[id_col] == kw["__kid"], "full_outer")
+        .select(
+            F.coalesce(F.col(id_col), F.col("__kid")).alias(id_col),
+            F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
+            F.coalesce("keyword_score", F.lit(0.0)).alias("keyword_score"),
+        )
+        .withColumn(
+            "combined_score",
+            F.col("vector_score") * vector_weight
+            + F.col("keyword_score") * keyword_weight,
+        )
+        .orderBy(F.desc("combined_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def entities_from_chunks(
+    mentions: DataFrame,
+    chunk_ids: list[str],
+    max_depth: int = MAX_DEPTH,
+    limit: int = 100,
+) -> DataFrame:
+    """Reference O23 (neo4j_store.py:261-345): entities reachable from
+    the hit chunks over the bipartite chunk-[:CONTAINS_ENTITY]-entity
+    graph within max_depth hops, DISTINCT, LIMIT 100.
+
+    Faithful quirk: the var-length pattern ends at an entity, so only
+    odd hop counts can match — with the default max_depth=2 the result
+    equals depth 1 (SURVEY.md §3.2-4). Implemented as iterative frontier
+    hash-joins (BFS), the same shape as CC.
+    """
+    spark = mentions.sparkSession
+    frontier_chunks = F.broadcast(
+        spark.createDataFrame([(c,) for c in chunk_ids], "chunk_id string")
+    )
+    ment = mentions.select("chunk_id", "name")
+    entities = ment.join(frontier_chunks, "chunk_id").select("name").distinct()
+    depth = 1
+    while depth + 2 <= max_depth:  # entity->chunk->entity = +2 hops
+        chunks_of = ment.join(entities, "name").select("chunk_id").distinct()
+        entities = (
+            ment.join(chunks_of, "chunk_id").select("name").distinct()
+        )
+        depth += 2
+    return entities.orderBy("name").limit(limit)
+
+
+def related_entities(
+    kg_edges: DataFrame,
+    entity_name: str,
+    max_depth: int = MAX_DEPTH,
+    limit: int = 50,
+) -> DataFrame:
+    """Reference get_related_entities (neo4j_store.py:372-407): entities
+    within max_depth undirected hops over ANY relationship type, LIMIT 50."""
+    undirected = (
+        kg_edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .union(kg_edges.select(F.col("obj").alias("a"), F.col("subj").alias("b")))
+        .distinct()
+    )
+    spark = kg_edges.sparkSession
+    frontier = spark.createDataFrame([(entity_name,)], "a string")
+    seen = frontier
+    for _ in range(max_depth):
+        nxt = (
+            undirected.join(F.broadcast(frontier), "a")
+            .select(F.col("b").alias("a"))
+            .distinct()
+            .join(seen, "a", "left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        seen = seen.union(nxt)
+        frontier = nxt
+    return (
+        seen.filter(F.col("a") != entity_name)
+        .select(F.col("a").alias("name"))
+        .orderBy("name")
+        .limit(limit)
+    )
+
+
+def top_connected_entities(kg_edges: DataFrame, kg_nodes: DataFrame, k: int = 10) -> DataFrame:
+    """Flagship query (SURVEY.md §7.2 M1): top-k canonical entities by
+    degree (out+in) over the triple table, joined to node metadata."""
+    degrees = (
+        kg_edges.select(F.col("subj").alias("canonical_id"))
+        .union(kg_edges.select(F.col("obj").alias("canonical_id")))
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        degrees.join(kg_nodes.select("canonical_id", "name", "labels"), "canonical_id")
+        .orderBy(F.desc("degree"), F.col("canonical_id"))
+        .limit(k)
+    )
