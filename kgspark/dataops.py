@@ -85,9 +85,10 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+            # slice tolerates short arrays (docs with < n words yield one
+            # shingle = the whole text) — same semantics as the DuckDB
+            # oracle's words[i:i+n-1] slice
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
     return documents.select(

@@ -1,0 +1,135 @@
+"""Training-data ops: exact/near dedup, ANN, text analysis — checked
+against hand-computed expectations and (for ANN) brute force."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import dataops
+
+DOCS_DDL = "doc_id long, text string, lang string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en"),   # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "el perro que corre por la calle los dias", "es"),
+        (5, "", "en"),
+    ]
+    return spark.createDataFrame(rows, DOCS_DDL)
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["keep_doc_id"]: r["n_copies"] for r in dataops.exact_dedup(docs).collect()}
+    assert got[0] == 2          # docs 0 and 1 collapse
+    assert 1 not in got
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_fingerprint_normalization(spark):
+    d = spark.createDataFrame(
+        [(0, "A  B\tC", "en"), (1, "a b c", "en")], DOCS_DDL
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in dataops.fingerprints(d).collect()}
+    assert fps[0] == fps[1]
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dataops.minhash_near_dup(
+            docs, n_hashes=32, bands=16, threshold=0.3
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    sh = dataops.word_shingles(docs, n=3)
+    pairs = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    row = dataops.ngram_jaccard(pairs, sh).collect()[0]
+    # 9-word docs -> 7 shingles each; 4 shared (window of 3 around the
+    # one differing word breaks 3 shingles) -> J = 4 / (7+7-4) = 0.4
+    assert row["jaccard"] == pytest.approx(0.4)
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dataops.simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert not any((a == 3 or b == 3) for a, b in pairs)
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in dataops.simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dataops.simhash(docs).collect()}
+    assert a == b
+
+
+def test_ivf_ann_matches_brute_force_topk(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    brute = [r["vec_id"] for r in dataops.brute_force_ann(emb, q, 5).collect()]
+    cents = [rows[i][1] for i in range(0, 200, 25)]
+    ivf = [
+        r["vec_id"]
+        for r in dataops.ivf_ann(emb, cents, q, 5, n_probe=4).collect()
+    ]
+    assert brute[0] == 5  # self is nearest
+    # IVF with half the cells probed keeps decent recall on the top-5
+    assert len(set(brute) & set(ivf)) >= 3
+
+
+def test_lang_id_predicts_markers(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in dataops.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "es"
+
+
+def test_quality_scores_values(spark):
+    d = spark.createDataFrame([(0, "the cat sat.", "en")], DOCS_DDL)
+    r = dataops.quality_scores(d).collect()[0]
+    assert r["n_chars"] == 12
+    assert r["n_words"] == 3
+    assert r["punct_ratio"] == pytest.approx(1 / 12, abs=1e-6)
+    assert r["stopword_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_token_stats_values(spark):
+    d = spark.createDataFrame(
+        [(0, "abc123 def!", "en"), (1, "", "en")], DOCS_DDL
+    )
+    got = {r["doc_id"]: r for r in dataops.token_stats(d).collect()}
+    assert got[0]["n_ws_tokens"] == 2
+    # abc | 123 | def | ! -> 4 BPE-ish pieces
+    assert got[0]["n_bpe_pieces"] == 4
+    assert got[1]["n_ws_tokens"] == 0
+
+
+def test_embedding_cosine_neardup(spark):
+    # embedding-cosine near-dup: same direction vectors score 1.0
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [2.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = dataops.brute_force_ann(emb, [1.0, 0.0, 0.0], 3).collect()
+    scores = {r["vec_id"]: r["score"] for r in got}
+    assert scores[0] == pytest.approx(1.0)
+    assert scores[1] == pytest.approx(1.0)
+    assert scores[2] == pytest.approx(0.0, abs=1e-9)
+    assert not math.isnan(scores[2])

@@ -1,0 +1,86 @@
+"""Query-side operators vs reference semantics (graphrag.py): score
+normalization, fusion weights/ordering, k-hop expansion quirks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import query
+
+
+def test_vector_topk_orders_and_limits(spark):
+    emb = spark.createDataFrame(
+        [("c0", [1.0, 0.0]), ("c1", [0.6, 0.8]), ("c2", [-1.0, 0.0])],
+        "chunk_id string, embedding array<float>",
+    )
+    got = query.vector_topk(emb, [1.0, 0.0], k=2).collect()
+    assert [r["chunk_id"] for r in got] == ["c0", "c1"]
+    assert got[0]["score"] == pytest.approx(1.0)
+    assert got[1]["score"] == pytest.approx(0.6)
+
+
+def test_keyword_scores_tf(spark):
+    chunks = spark.createDataFrame(
+        [("c0", "court court contract"), ("c1", "nothing here"), ("c2", "court")],
+        "chunk_id string, text string",
+    )
+    got = {r["chunk_id"]: r["score"] for r in
+           query.keyword_scores(chunks, "Court contract", k=5).collect()}
+    assert got == {"c0": 3.0, "c2": 1.0}
+
+
+def test_fusion_reference_semantics(spark):
+    # graphrag.py:117-168: vector normalized (1+s)/2, keyword s/10,
+    # combined = 0.7v + 0.3k; missing side contributes 0
+    v = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0)], "chunk_id string, score double"
+    )
+    kw = spark.createDataFrame(
+        [("b", 5.0), ("c", 20.0)], "chunk_id string, score double"
+    )
+    got = {r["chunk_id"]: r for r in query.fuse(v, kw, k=3).collect()}
+    assert got["a"]["combined_score"] == pytest.approx(0.7 * 1.0)
+    assert got["b"]["combined_score"] == pytest.approx(0.7 * 0.5 + 0.3 * 0.5)
+    assert got["c"]["keyword_score"] == pytest.approx(1.0)  # clamped 20/10 -> 1
+    assert got["c"]["combined_score"] == pytest.approx(0.3)
+
+
+def test_entities_from_chunks_depth_parity_quirk(spark):
+    # bipartite walk ends at entities -> max_depth=2 behaves like depth 1
+    # (SURVEY.md §3.2-4, neo4j_store.py:339-345)
+    mentions = spark.createDataFrame(
+        [("k0", "E1"), ("k0", "E2"), ("k1", "E2"), ("k1", "E3"), ("k2", "E4")],
+        "chunk_id string, name string",
+    )
+    d1 = {r["name"] for r in
+          query.entities_from_chunks(mentions, ["k0"], max_depth=1).collect()}
+    d2 = {r["name"] for r in
+          query.entities_from_chunks(mentions, ["k0"], max_depth=2).collect()}
+    d3 = {r["name"] for r in
+          query.entities_from_chunks(mentions, ["k0"], max_depth=3).collect()}
+    assert d1 == {"E1", "E2"}
+    assert d2 == d1                       # parity quirk preserved
+    assert d3 == {"E1", "E2", "E3"}       # one entity->chunk->entity hop
+
+
+def test_related_entities_bounded_bfs(spark):
+    edges = spark.createDataFrame(
+        [("A", "R", "B"), ("B", "R", "C"), ("C", "R", "D"), ("X", "R", "Y")],
+        "subj string, pred string, obj string",
+    )
+    d1 = {r["name"] for r in query.related_entities(edges, "A", 1).collect()}
+    d2 = {r["name"] for r in query.related_entities(edges, "A", 2).collect()}
+    assert d1 == {"B"}
+    assert d2 == {"B", "C"}
+
+
+def test_top_connected_entities(spark):
+    edges = spark.createDataFrame(
+        [("A", "R", "B"), ("A", "S", "C"), ("B", "R", "C")],
+        "subj string, pred string, obj string",
+    )
+    nodes = spark.createDataFrame(
+        [("A", "A", ["Entity"]), ("B", "B", ["Entity"]), ("C", "C", ["Entity"])],
+        "canonical_id string, name string, labels array<string>",
+    )
+    got = query.top_connected_entities(edges, nodes, k=2).collect()
+    assert [(r["canonical_id"], r["degree"]) for r in got] == [("A", 2), ("B", 2)]
