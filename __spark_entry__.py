@@ -251,6 +251,25 @@ def _q_minhash_near_dup(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    from kgspark.dataops import embedding_near_dup
+
+    return embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-blocked variant (rows-only: the seeded-Gaussian plane
+    signature isn't worth re-deriving in SQL; recall vs the exact
+    baseline is covered by pytest)."""
+    from kgspark.dataops import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        _read(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_simhash_near_dup(spark, sf_dir):
     from kgspark.dataops import simhash_near_dup
 
@@ -283,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_near_dup": _q_minhash_near_dup,  # rows-only (xxhash64)
         "simhash_near_dup": _q_simhash_near_dup,  # rows-only (simhash UDF)
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # rows-only
     }
 
 
@@ -447,6 +468,25 @@ def oracle_sql() -> dict[str, str]:
             FROM fused
             ORDER BY vector_score * 0.7 + keyword_score * 0.3 DESC, vec_id
             LIMIT 10
+        """,
+        "embedding_near_dup": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                     AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(a.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

@@ -334,6 +334,125 @@ def ivf_ann(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def pair_cosine(a, b):
+    """Cosine similarity between two array<float> columns, JVM-side
+    (zip_with dot product + aggregate norms; no Python)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    # zero-norm guard: Spark orders NaN above every double, so an
+    # unguarded 0/0 would sail through `cosine >= threshold`
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact embedding-cosine near-dup: all pairs (a < b) with cosine
+    >= threshold. O(n^2) — the correctness baseline the LSH variant is
+    verified against; use embedding_near_dup_lsh at scale."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            pair_cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _random_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    import random  # noqa: PLC0415
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH blocking for embedding near-dup: sign-bit
+    signature over seeded Gaussian planes, banded bucket join (pairs
+    only meet inside a shared band bucket — never O(n^2)), then exact
+    cosine verification. Deterministic given the seed."""
+    if dim is None:
+        row = embeddings.select(F.size("embedding")).first()
+        if row is None:  # empty input: no pairs, well-typed result
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, cosine double"
+            )
+        dim = row[0]
+    planes = _random_planes(n_planes, dim, seed)
+    width = n_planes // bands
+
+    def dot_lit(vec: list[float]):
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    bits = [F.when(dot_lit(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
+    band_keys = [
+        sum(
+            (bits[b * width + r] * F.lit(1 << r) for r in range(width)),
+            start=F.lit(0),
+        )
+        for b in range(bands)
+    ]
+    banded = embeddings.select(
+        F.col(id_col).alias("doc"), "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc", "embedding", "bk.band", "bk.key")
+
+    right = banded.select(
+        F.col("band").alias("band2"), F.col("key").alias("key2"),
+        F.col("doc").alias("vec_b"), F.col("embedding").alias("emb_b"),
+    )
+    cands = (
+        banded.join(
+            right,
+            (banded["band"] == right["band2"])
+            & (banded["key"] == right["key2"])
+            & (banded["doc"] < right["vec_b"]),
+        )
+        .select(
+            F.col("doc").alias("vec_a"), "vec_b",
+            pair_cosine(F.col("embedding"), F.col("emb_b")).alias("cosine"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
 # text analysis: language-ID + quality scoring (JVM-side)
 # ---------------------------------------------------------------------------
 

@@ -133,3 +133,46 @@ def test_embedding_cosine_neardup(spark):
     assert scores[1] == pytest.approx(1.0)
     assert scores[2] == pytest.approx(0.0, abs=1e-9)
     assert not math.isnan(scores[2])
+
+
+def test_embedding_near_dup_exact_and_lsh_recall(spark):
+    # 3 clusters of near-identical vectors + noise vectors; exact pairs
+    # must find within-cluster pairs only, and LSH blocking must
+    # recover (near-)all exact pairs at the same threshold.
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(4):
+            rows.append((vid, [b + rng.gauss(0, 0.01) for b in base]))
+            vid += 1
+    for _ in range(10):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dataops.embedding_near_dup(emb, threshold=0.95).collect()
+    }
+    # every within-cluster pair (6 per cluster of 4) is a near-dup
+    expected = {
+        (a, b)
+        for c in range(3)
+        for a in range(c * 4, c * 4 + 4)
+        for b in range(a + 1, c * 4 + 4)
+    }
+    assert exact == expected
+
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in dataops.embedding_near_dup_lsh(
+            emb, threshold=0.95, n_planes=16, bands=8
+        ).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision = 1
+    assert len(lsh) >= 0.9 * len(exact)  # high recall on tight clusters
