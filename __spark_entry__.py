@@ -276,6 +276,25 @@ def _q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup(_read(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _q_media_stats(spark, sf_dir):
+    """Multimodal plumbing (rows-only: binary KGSM container decode is
+    a mapInPandas stage, not SQL; correctness covered by pytest)."""
+    from kgspark.multimodal import media_df, media_stats
+
+    return media_stats(media_df(spark, 300)).orderBy("kind")
+
+
+def _q_media_frames(spark, sf_dir):
+    from kgspark.multimodal import media_df, sample_frames
+
+    return (
+        sample_frames(media_df(spark, 300), every_n=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames_kept"))
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -304,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,  # rows-only (simhash UDF)
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # rows-only
+        # multimodal plumbing (rows-only; pytest-verified fake codec)
+        "media_stats": _q_media_stats,
+        "media_frame_sample": _q_media_frames,
     }
 
 
