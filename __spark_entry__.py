@@ -295,6 +295,31 @@ def _q_media_frames(spark, sf_dir):
     )
 
 
+def _q_streaming_triples(spark, sf_dir):
+    """Structured-Streaming ingest (rows-only): drain a pages backlog
+    through the streaming S1->S4 path with availableNow, return the
+    sink contents. Equality with the batch path is pytest-verified
+    (tests/test_streaming.py)."""
+    import tempfile
+
+    from kgspark import streaming
+    from kgspark.fixtures import pages_df
+
+    tmp = tempfile.mkdtemp(prefix="kgspark_stream_q_")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    pages_df(spark, 100).coalesce(2).write.mode("overwrite").parquet(landing)
+    streaming.run_to_parquet(
+        streaming.stream_triples(streaming.stream_pages(spark, landing)),
+        out, ckpt,
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_triples"))
+        .orderBy("pred")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -326,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (rows-only; pytest-verified fake codec)
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_media_frames,
+        # streaming ingest (rows-only; pytest-verified vs batch path)
+        "streaming_triples": _q_streaming_triples,
     }
 
 

@@ -1,0 +1,148 @@
+"""Structured Streaming ingest for the KG pipeline.
+
+The reference is strictly batch (SURVEY.md §2.2 — no streaming
+abstractions anywhere in `/root/reference`); this module is the
+engine's continuous-ingest extension: Common-Crawl-style pages arrive
+as files in a landing directory, and the stateless S1→S4 stages
+(extract_text, chunk, embed, extract — all Arrow-batched maps with no
+shuffle) lift onto streaming DataFrames unchanged.
+
+Design split (lambda-style, the idiomatic Spark answer for iterative
+graph algorithms over streams):
+
+  * streaming path (this module): pages → raw triples / mentions,
+    append-mode, exactly-once into a parquet sink via checkpointed
+    file-source offsets. Zero stateful operators in the hot path, so
+    throughput scales with input files.
+  * batch path: canonicalization (connected components) and the final
+    dedup/materialize run periodically over the accumulated raw tables
+    via `pipeline.Pipeline` — CC is iterative and global, which
+    Structured Streaming cannot express incrementally; recomputing it
+    over snapshots is both simpler and deterministic.
+
+Stateful operators are still covered where streaming-native semantics
+exist: watermarked url-dedup (`dedup_pages_stream`) and watermarked
+windowed ingest stats (`windowed_lang_counts`) handle late/duplicate
+WARC records.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import stages
+from .fixtures import PAGES_DDL
+
+
+def stream_pages(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of pages parquet dropped into `landing_dir`.
+    Offsets live in the sink's checkpoint dir → exactly-once replay."""
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
+
+
+def stream_triples(pages_stream: DataFrame) -> DataFrame:
+    """pages stream → raw (subj, pred, obj) triples with provenance.
+    Stateless composition of S1, S2, S4 — valid in append mode with no
+    watermark because no aggregation/join state is kept."""
+    docs = stages.extract_text(pages_stream)
+    chunks = stages.chunk(docs)
+    extracted = stages.extract(chunks)
+    return stages.raw_edges_of(extracted).select(
+        F.col("source").alias("subj"),
+        F.col("type").alias("pred"),
+        F.col("target").alias("obj"),
+        "url", "chunk_id", "chunk_index", "properties",
+    )
+
+
+def stream_mentions(pages_stream: DataFrame) -> DataFrame:
+    """pages stream → mention rows (stateless, append mode)."""
+    docs = stages.extract_text(pages_stream)
+    chunks = stages.chunk(docs)
+    return stages.mentions_of(stages.extract(chunks))
+
+
+def dedup_pages_stream(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming url-dedup: keep the first arrival of each url within
+    the watermark horizon. State is bounded by the watermark — old url
+    keys are evicted once warc_ts passes, so memory does not grow with
+    the corpus (a 10^12-row corpus would otherwise OOM the state store)."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url", "warc_ts"]
+    )
+
+
+def windowed_lang_counts(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window ingest stats per language — the
+    late-data-tolerant metrics feed. Rows later than the watermark are
+    dropped; windows finalize (and can be emitted in append mode) once
+    the watermark passes their end."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "lang", "n_pages", "n_chars",
+        )
+    )
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    output_mode: str = "append",
+):
+    """Drain a stream into a parquet sink (exactly-once via the
+    checkpointed offsets). availableNow=True processes the current
+    backlog and stops — the batch-drain mode used by tests and by
+    catch-up runs after downtime."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    trigger = {"availableNow": True} if available_now else {
+        "processingTime": "10 seconds"
+    }
+    query = writer.trigger(**trigger).start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+):
+    """Drain the current backlog into an in-memory table (tests only)."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

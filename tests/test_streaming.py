@@ -1,0 +1,146 @@
+"""Structured Streaming ingest: streaming S1→S4 output must equal the
+batch pipeline on the same pages; watermarked dedup and windowed
+stats; exactly-once resume across restarts via checkpointed offsets."""
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import stages, streaming
+from kgspark.fixtures import PAGES_DDL, pages_df
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory, spark):
+    """Two parquet files of 20 pages each in a landing dir."""
+    d = str(tmp_path_factory.mktemp("landing"))
+    pages_df(spark, 20).coalesce(1).write.mode("append").parquet(d)
+    pages = pages_df(spark, 40).filter(F.col("url").isNotNull())
+    second = pages.join(
+        pages_df(spark, 20).select("url"), "url", "left_anti"
+    )
+    second.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_triples_match_batch(spark, landing, tmp_path):
+    stream = streaming.stream_pages(spark, landing)
+    assert stream.isStreaming
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    streaming.run_to_parquet(streaming.stream_triples(stream), out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch_pages = spark.read.parquet(landing)
+    expect = stages.raw_edges_of(
+        stages.extract(stages.chunk(stages.extract_text(batch_pages)))
+    ).select(
+        F.col("source").alias("subj"), F.col("type").alias("pred"),
+        F.col("target").alias("obj"), "url", "chunk_id",
+    )
+    g = sorted(map(tuple, got.select("subj", "pred", "obj", "url", "chunk_id").collect()))
+    e = sorted(map(tuple, expect.collect()))
+    assert g == e
+    assert len(g) > 0
+
+
+def test_stream_resume_exactly_once(spark, landing, tmp_path):
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    # first drain: only the backlog present now
+    streaming.run_to_parquet(
+        streaming.stream_triples(
+            streaming.stream_pages(spark, landing, max_files_per_trigger=1)
+        ),
+        out, ckpt,
+    )
+    n1 = spark.read.parquet(out).count()
+    # restart with the same checkpoint and no new files: no duplicates
+    streaming.run_to_parquet(
+        streaming.stream_triples(streaming.stream_pages(spark, landing)),
+        out, ckpt,
+    )
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+    # drop a new file, restart again: only its triples are appended
+    extra_dir = str(tmp_path / "extra")
+    pages = pages_df(spark, 45).join(
+        spark.read.parquet(landing).select("url"), "url", "left_anti"
+    )
+    pages.coalesce(1).write.mode("overwrite").parquet(extra_dir)
+    for f in glob.glob(os.path.join(extra_dir, "*.parquet")):
+        os.rename(f, os.path.join(landing, "extra_" + os.path.basename(f)))
+    streaming.run_to_parquet(
+        streaming.stream_triples(streaming.stream_pages(spark, landing)),
+        out, ckpt,
+    )
+    n3 = spark.read.parquet(out).count()
+    assert n3 > n2
+    urls = {r["url"] for r in spark.read.parquet(out).select("url").distinct().collect()}
+    assert len(urls) == len({r["url"] for r in spark.read.parquet(landing).select("url").distinct().collect()})
+
+
+def _ts(minute: int):
+    return dt.datetime(2026, 1, 1, 10, minute)
+
+
+def test_windowed_lang_counts_with_late_data(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows1 = [
+        (f"u{i}", _ts(i), None, f"text {i}", "en") for i in (0, 5, 12, 40)
+    ]
+    # late row: ts 10:02 arrives AFTER watermark advanced to 10:40-30m=10:10
+    rows2 = [("late", _ts(2), None, "late text", "en"),
+             ("ok", _ts(41), None, "ok text", "de")]
+    spark.createDataFrame(rows1, PAGES_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = streaming.stream_pages(spark, landing, max_files_per_trigger=1)
+    agg = streaming.windowed_lang_counts(
+        stream, window="10 minutes", watermark="30 minutes"
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    streaming.run_to_parquet(agg, out, ckpt)  # drain file 1, advance watermark
+
+    spark.createDataFrame(rows2, PAGES_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    streaming.run_to_parquet(agg, out, ckpt)  # drain file 2
+    # close all windows: one more file far in the future
+    spark.createDataFrame(
+        [("end", _ts(59) + dt.timedelta(hours=3), None, "end", "en")], PAGES_DDL
+    ).coalesce(1).write.mode("append").parquet(landing)
+    streaming.run_to_parquet(agg, out, ckpt)
+
+    got = {
+        (r["window_start"].minute, r["lang"]): r["n_pages"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(0, "en")] == 2          # u0 + u5; "late" (10:02) dropped
+    assert got[(10, "en")] == 1         # u12
+    assert got[(40, "en")] == 1         # u40
+    assert got[(40, "de")] == 1         # ok (10:41) accepted
+    assert (0, "de") not in got
+
+
+def test_dedup_pages_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ts = _ts(0)
+    rows = [("u1", ts, None, "a", "en"), ("u1", ts, None, "a", "en"),
+            ("u2", ts, None, "b", "en")]
+    spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = streaming.stream_pages(spark, landing)
+    deduped = streaming.dedup_pages_stream(stream)
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(deduped, out, str(tmp_path / "ckpt"))
+    urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert urls == ["u1", "u2"]
