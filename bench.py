@@ -98,6 +98,10 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         frames["kg_edges"].count()
         frames["kg_nodes"].count()
         frames["embeddings"].count()  # S3 is lazy otherwise
+        # materialize the chunks stage table (full column scan, not just
+        # count) so the query phase measures retrieval, not leftover
+        # pipeline work
+        frames["chunks"].select(F.sum(F.length("text"))).collect()
 
     timed("kg_pipeline", kg_run)
 

@@ -41,21 +41,36 @@ def build_kg_frames(
 ) -> dict[str, DataFrame]:
     """Full S1→S7 DAG, in memory. `extracted` is cached (when requested)
     because mentions/edges/linking all branch from it — one extractor
-    pass, many consumers."""
+    pass, many consumers.
+
+    With cache=True the stage caches are materialized eagerly IN STAGE
+    ORDER: every downstream branch (CC, node dedup, edge materialize)
+    then reuses the cached stage instead of re-deriving the Python UDF
+    chain — without this, kg_edges' plan re-runs dedup_nodes and the
+    extractor because it captures the pre-persist DataFrames."""
     docs = stages.extract_text(pages)
     chunks = stages.chunk(docs, chunk_size, chunk_overlap)
     if cache:
         chunks = chunks.persist()
+        # full-column scan: count() can serve from cache stats without
+        # populating all column batches
+        chunks.select(F.sum(F.length("text"))).collect()
     embeddings = stages.embed(chunks, embed_dim)
     extracted = stages.extract(chunks)
     if cache:
         extracted = extracted.persist()
+        extracted.select(F.count("name")).collect()
     mentions = stages.mentions_of(extracted)
     raw_edges = stages.raw_edges_of(extracted)
     sim_edges = linking.similarity_edges(mentions, mode=link_mode)
     names = mentions.select("name").distinct()
     canonical = cc.connected_components(names, sim_edges)
+    if cache:
+        canonical = canonical.persist()
     kg_nodes = stages.dedup_nodes(mentions, canonical)
+    if cache:
+        kg_nodes = kg_nodes.persist()
+        kg_nodes.count()
     kg_edges = stages.materialize_edges(raw_edges, kg_nodes, canonical, salt=salt)
     return {
         "docs": docs,
