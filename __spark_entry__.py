@@ -76,6 +76,25 @@ def _q_kg_canonical(spark, sf_dir):
     return frames["canonical"].orderBy("name")
 
 
+def _q_kg_graphrag(spark, sf_dir):
+    """Full GraphRAG retrieval (rows-only: UDF featurizer + iterative
+    expansion; component semantics are DuckDB-checked separately via
+    hybrid_fusion_topk and pytest)."""
+    from kgspark.query import graphrag_search
+
+    frames = _kg_frames(spark, sf_dir)
+    out = graphrag_search(
+        frames["chunks"], frames["embeddings"], frames["mentions"],
+        "court contract agreement", top_k=5,
+    )
+    return out["hits"].select(
+        "chunk_id",
+        F.round("vector_score", 6).alias("vector_score"),
+        F.round("keyword_score", 6).alias("keyword_score"),
+        F.round("combined_score", 6).alias("combined_score"),
+    )
+
+
 def _q_kg_khop(spark, sf_dir):
     from kgspark.query import related_entities
 
@@ -328,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunk_stats": _q_kg_chunk_stats,
         "kg_canonical": _q_kg_canonical,
         "kg_khop_related": _q_kg_khop,
+        "kg_graphrag_search": _q_kg_graphrag,
         # relational operators (SQL-checked)
         "dedup_lastwins": _q_dedup_lastwins,
         "endpoint_semi_join": _q_endpoint_semi_join,

@@ -62,6 +62,10 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         n_pages = int(os.environ.get(
             "KGSPARK_BENCH_PAGES", max(500, int(500_000 * max(sf, 0)))
         ))
+    # sentence-scale of the synthetic pages: 1 = historical tiny pages;
+    # 10 ≈ real Common-Crawl text size (6-12 KB/page). Scaling runs use
+    # 10 so the Python stages are compute-bound, not overhead-bound.
+    sent_scale = int(os.environ.get("KGSPARK_BENCH_SENT_SCALE", "1"))
 
     spark = get_spark(
         "kgspark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -78,11 +82,11 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     # --- KG construction (the headline) -----------------------------------
     # materialize the synthetic corpus to parquet UNTIMED so kg_pipeline
     # measures the engine, not the fixture generator
-    pages_path = f"/tmp/kgspark_bench_pages_n{n_pages}.parquet"
+    pages_path = f"/tmp/kgspark_bench_pages_n{n_pages}_ss{sent_scale}.parquet"
     if not os.path.exists(pages_path):
-        pages_df(spark, n_pages, partitions=cpus * 2).write.mode(
-            "overwrite"
-        ).parquet(pages_path)
+        pages_df(
+            spark, n_pages, partitions=32, sent_scale=sent_scale
+        ).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
 
     frames: dict = {}
@@ -169,6 +173,7 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         "sf": sf,
         "cpus": cpus,
         "n_pages": n_pages,
+        "sent_scale": sent_scale,
         "docs_per_sec": round(n_pages / timings["kg_pipeline"], 2),
     }
 

@@ -69,12 +69,18 @@ def _doc_rng(doc_id: int, seed: int = SEED) -> random.Random:
     return random.Random((seed << 32) ^ doc_id)
 
 
-def make_text(doc_id: int, seed: int = SEED) -> str:
+def make_text(doc_id: int, seed: int = SEED, sent_scale: int = 1) -> str:
     """Sentence-structured prose with seeded entity mentions and relation
     trigger patterns ("X sues Y") so the rule extractor emits a known
-    triple set."""
+    triple set.
+
+    sent_scale multiplies the sentence count (default 1 keeps the
+    historical corpus byte-identical). Benchmarks use sent_scale≈10 so a
+    page carries ~6-12 KB of text like a real Common-Crawl capture,
+    making the Python stages compute-bound rather than overhead-bound.
+    """
     rng = _doc_rng(doc_id, seed)
-    n_sent = rng.randint(6, 14)
+    n_sent = rng.randint(6, 14) * sent_scale
     hot = (doc_id % 10) < 3
     sentences = []
     for i in range(n_sent):
@@ -112,11 +118,13 @@ def make_html(text: str, title: str) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
-def make_page(doc_id: int, seed: int = SEED) -> dict[str, Any]:
+def make_page(
+    doc_id: int, seed: int = SEED, sent_scale: int = 1
+) -> dict[str, Any]:
     lang = LANGS[doc_id % len(LANGS)]
     source = SOURCES[doc_id % len(SOURCES)]
     url = f"https://example.org/{source}/{lang}/doc{doc_id}"
-    text = make_text(doc_id, seed)
+    text = make_text(doc_id, seed, sent_scale)
     html = None if doc_id % 10 == 7 else make_html(text, f"doc{doc_id}")
     ts = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
         minutes=doc_id
@@ -124,8 +132,10 @@ def make_page(doc_id: int, seed: int = SEED) -> dict[str, Any]:
     return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
 
 
-def make_pages(n: int, seed: int = SEED) -> list[dict[str, Any]]:
-    return [make_page(i, seed) for i in range(n)]
+def make_pages(
+    n: int, seed: int = SEED, sent_scale: int = 1
+) -> list[dict[str, Any]]:
+    return [make_page(i, seed, sent_scale) for i in range(n)]
 
 
 PAGES_DDL = (
@@ -133,7 +143,10 @@ PAGES_DDL = (
 )
 
 
-def pages_df(spark, n: int, seed: int = SEED, partitions: int | None = None):
+def pages_df(
+    spark, n: int, seed: int = SEED, partitions: int | None = None,
+    sent_scale: int = 1,
+):
     """Distributed generation: spark.range(n) -> mapInPandas(make_page).
 
     Each output row depends only on its doc_id, so the result is
@@ -146,7 +159,7 @@ def pages_df(spark, n: int, seed: int = SEED, partitions: int | None = None):
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_page(int(i), rng_seed) for i in pdf["id"]]
+            rows = [make_page(int(i), rng_seed, sent_scale) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

@@ -67,11 +67,15 @@ def build_kg_frames(
     canonical = cc.connected_components(names, sim_edges)
     if cache:
         canonical = canonical.persist()
-    kg_nodes = stages.dedup_nodes(mentions, canonical)
+    # exact linking => canonical_id == name by construction (cc.py:51-52),
+    # so the canonical-map joins are identity and elided algebraically.
+    # The lsh path keeps them (and their skew handling).
+    cmap = canonical if link_mode != "exact" else None
+    kg_nodes = stages.dedup_nodes(mentions, cmap)
     if cache:
         kg_nodes = kg_nodes.persist()
         kg_nodes.count()
-    kg_edges = stages.materialize_edges(raw_edges, kg_nodes, canonical, salt=salt)
+    kg_edges = stages.materialize_edges(raw_edges, kg_nodes, cmap, salt=salt)
     return {
         "docs": docs,
         "chunks": chunks,

@@ -198,6 +198,66 @@ def related_entities(
     )
 
 
+def graphrag_search(
+    chunks: DataFrame,
+    embeddings: DataFrame,
+    mentions: DataFrame,
+    query_text: str,
+    top_k: int = TOP_K,
+    max_depth: int = MAX_DEPTH,
+    embed_dim: int = 64,
+) -> dict[str, DataFrame]:
+    """End-to-end GraphRAG retrieval analog, no LLM (reference
+    graphrag.search, src/builders/graphrag.py:58-98):
+
+      1. embed the query with the same deterministic featurizer the
+         chunks were embedded with (embeddings.py:28-45 analog)
+      2. vector top-2k cosine + keyword top-2k term-frequency
+         (qdrant_store.py:80-105 / elasticsearch_store.py:138-178)
+      3. weighted fusion to top-k (graphrag.py:117-162)
+      4. entity expansion from the hit chunks (neo4j_store.py:261-345)
+
+    Returns {"hits": fused top-k with scores, "entities": expanded
+    entity names}. The answer-generation step (graphrag.py:196-222) is
+    out of scope per SURVEY.md O25 (non-deterministic external LLM).
+    """
+    from .textops import embed_text  # noqa: PLC0415
+
+    qvec = embed_text(query_text, embed_dim)
+    vec_hits = vector_topk(embeddings, qvec, k=top_k * 2)
+    kw_hits = keyword_scores(chunks, query_text, k=top_k * 2)
+    hits = fuse(vec_hits, kw_hits, k=top_k)
+    hit_ids = [r["chunk_id"] for r in hits.select("chunk_id").collect()]
+    entities = entities_from_chunks(mentions, hit_ids, max_depth=max_depth)
+    return {"hits": hits, "entities": entities}
+
+
+def build_context(
+    hits: DataFrame,
+    entities: DataFrame,
+    chunks: DataFrame,
+    max_entities: int = 10,
+) -> str:
+    """Context assembly (reference O24, graphrag.py:170-194): format
+    the top chunks and up to max_entities entity names into one prompt
+    string. Driver-side by design — the inputs are already top-k-sized
+    (≤ a few rows), so a collect here is O(k), not O(corpus)."""
+    hit_rows = (
+        hits.join(chunks.select("chunk_id", "text"), "chunk_id")
+        .select("chunk_id", "combined_score", "text")
+        .orderBy(F.desc("combined_score"), "chunk_id")
+        .collect()
+    )
+    ent_rows = entities.limit(max_entities).collect()
+    parts = ["Relevant text passages:"]
+    for i, r in enumerate(hit_rows, 1):
+        parts.append(f"[{i}] (score={r['combined_score']:.4f}) {r['text']}")
+    if ent_rows:
+        parts.append("Related entities:")
+        parts.extend(f"- {r['name']}" for r in ent_rows)
+    return "\n".join(parts)
+
+
 def top_connected_entities(kg_edges: DataFrame, kg_nodes: DataFrame, k: int = 10) -> DataFrame:
     """Flagship query (SURVEY.md §7.2 M1): top-k canonical entities by
     degree (out+in) over the triple table, joined to node metadata."""

@@ -144,41 +144,50 @@ def extract(chunks: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
+            # columnar accumulation: one python list per output column
+            # (a list-of-dicts forces pandas to re-pivot row-wise, which
+            # dominated this stage's profile at 10x corpus scale)
+            c: dict[str, list] = {name: [] for name in cols}
             for url, cid, cidx, text in zip(
                 pdf["url"], pdf["chunk_id"], pdf["chunk_index"], pdf["text"]
             ):
+                cidx = int(cidx)
                 result = extract_chunk(text)
                 for node in result["nodes"]:
                     name = node["properties"].get("name")
                     if not name:  # neo4j_store.py:84-85
                         continue
-                    out.append(
-                        {
-                            "url": url, "chunk_id": cid, "chunk_index": int(cidx),
-                            "kind": "mention", "name": name,
-                            "labels": [sanitize_label(l) for l in node["labels"]],
-                            "properties": {
-                                k: str(v) for k, v in node["properties"].items()
-                            },
-                            "source": None, "type": None, "target": None,
-                        }
+                    c["url"].append(url)
+                    c["chunk_id"].append(cid)
+                    c["chunk_index"].append(cidx)
+                    c["kind"].append("mention")
+                    c["name"].append(name)
+                    c["labels"].append(
+                        [sanitize_label(l) for l in node["labels"]]
                     )
+                    c["properties"].append(
+                        {k: str(v) for k, v in node["properties"].items()}
+                    )
+                    c["source"].append(None)
+                    c["type"].append(None)
+                    c["target"].append(None)
                 for rel in result["relationships"]:
-                    out.append(
+                    c["url"].append(url)
+                    c["chunk_id"].append(cid)
+                    c["chunk_index"].append(cidx)
+                    c["kind"].append("edge")
+                    c["name"].append(None)
+                    c["labels"].append(None)
+                    c["properties"].append(
                         {
-                            "url": url, "chunk_id": cid, "chunk_index": int(cidx),
-                            "kind": "edge", "name": None, "labels": None,
-                            "properties": {
-                                k: str(v)
-                                for k, v in (rel.get("properties") or {}).items()
-                            },
-                            "source": rel["source"],
-                            "type": sanitize_label(rel["type"]),
-                            "target": rel["target"],
+                            k: str(v)
+                            for k, v in (rel.get("properties") or {}).items()
                         }
                     )
-            yield pd.DataFrame(out, columns=cols)
+                    c["source"].append(rel["source"])
+                    c["type"].append(sanitize_label(rel["type"]))
+                    c["target"].append(rel["target"])
+            yield pd.DataFrame(c, columns=cols)
 
     return chunks.select("url", "chunk_id", "chunk_index", "text").mapInPandas(
         run, schema=EXTRACTED_DDL

@@ -84,3 +84,45 @@ def test_top_connected_entities(spark):
     )
     got = query.top_connected_entities(edges, nodes, k=2).collect()
     assert [(r["canonical_id"], r["degree"]) for r in got] == [("A", 2), ("B", 2)]
+
+
+def test_graphrag_search_end_to_end(spark):
+    """Full O19->O24 retrieval analog over a built KG (no LLM)."""
+    from kgspark.fixtures import pages_df
+    from kgspark.pipeline import build_kg_frames
+    from kgspark.query import build_context, graphrag_search
+
+    frames = build_kg_frames(spark, pages_df(spark, 60), link_mode="exact")
+    out = graphrag_search(
+        frames["chunks"], frames["embeddings"], frames["mentions"],
+        "court contract agreement", top_k=5,
+    )
+    hits = out["hits"].collect()
+    assert 0 < len(hits) <= 5
+    # scores normalized and combined per reference weights
+    for r in hits:
+        assert 0.0 <= r["vector_score"] <= 1.0
+        assert 0.0 <= r["keyword_score"] <= 1.0
+        assert r["combined_score"] == pytest.approx(
+            0.7 * r["vector_score"] + 0.3 * r["keyword_score"], abs=1e-9
+        )
+    # descending by combined score
+    scores = [r["combined_score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    ents = out["entities"].collect()
+    assert len(ents) <= 100
+
+    ctx = build_context(out["hits"], out["entities"], frames["chunks"])
+    assert ctx.startswith("Relevant text passages:")
+    assert "[1] (score=" in ctx
+    if ents:
+        assert "Related entities:" in ctx
+        assert f"- {ents[0]['name']}" in ctx
+
+    # determinism across repeated invocations
+    out2 = graphrag_search(
+        frames["chunks"], frames["embeddings"], frames["mentions"],
+        "court contract agreement", top_k=5,
+    )
+    assert sorted(map(tuple, hits)) == sorted(map(tuple, out2["hits"].collect()))
