@@ -186,6 +186,40 @@ def _q_events_stats(spark, sf_dir):
     )
 
 
+def _q_top_events_per_user(spark, sf_dir):
+    """Window function: top-2 events per user by value (row_number
+    over a deterministic order)."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "event_type", "value", "rn")
+    )
+
+
+def _q_orders_rollup(spark, sf_dir):
+    """Rollup aggregation: order counts by (status, priority) with
+    subtotals and a grand total."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "total_price",
+        )
+    )
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         _read(spark, sf_dir, "embeddings")
@@ -354,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_join": _q_khop_join,
         "top_customers": _q_top_customers,
         "events_stats": _q_events_stats,
+        "top_events_per_user": _q_top_events_per_user,
+        "orders_rollup": _q_orders_rollup,
         # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -452,6 +488,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, event_type, value, rn FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                     ) AS rn
+              FROM events) t
+            WHERE rn <= 2
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "exact_dedup": f"""
             SELECT md5({norm}) AS fingerprint,
