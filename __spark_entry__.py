@@ -348,6 +348,27 @@ def _q_media_frames(spark, sf_dir):
     )
 
 
+def _q_kg_lineage(spark, sf_dir):
+    """Checkpointed Pipeline run + per-stage lineage rollup (rows-only:
+    per-partition lineage carries durations/run ids; the rollup keeps
+    only the deterministic columns). Exercises the resumable TableIO
+    path through the driver contract."""
+    import tempfile
+
+    from kgspark.fixtures import pages_df
+    from kgspark.pipeline import Pipeline
+
+    wh = tempfile.mkdtemp(prefix="kgspark_lineage_q_")
+    pipe = Pipeline(wh, link_mode="exact")
+    pipe.run(spark, pages_df(spark, 100), corpus_id="pages:n=100:seed=42")
+    lineage = pipe.io.read(spark, "_lineage")
+    return (
+        lineage.groupBy("stage")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .orderBy("stage")
+    )
+
+
 def _q_streaming_triples(spark, sf_dir):
     """Structured-Streaming ingest (rows-only): drain a pages backlog
     through the streaming S1->S4 path with availableNow, return the
@@ -409,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frames,
         # streaming ingest (rows-only; pytest-verified vs batch path)
         "streaming_triples": _q_streaming_triples,
+        # checkpointed pipeline + lineage (rows-only; resume pytest)
+        "kg_lineage": _q_kg_lineage,
     }
 
 

@@ -54,7 +54,12 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     )
     from kgspark.fixtures import pages_df
     from kgspark.pipeline import build_kg_frames
-    from kgspark.query import fuse, keyword_scores, related_entities, vector_topk
+    from kgspark.query import (
+        fuse,
+        keyword_scores_from_index,
+        related_entities,
+        vector_topk,
+    )
     from kgspark.session import get_spark
 
     sf = _sf_of(sf_dir)
@@ -105,9 +110,11 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         frames["kg_edges"] = frames["kg_edges"].persist()
         frames["kg_nodes"] = frames["kg_nodes"].persist()
         frames["embeddings"] = frames["embeddings"].persist()
+        frames["inverted_index"] = frames["inverted_index"].persist()
         frames["kg_edges"].count()
         frames["kg_nodes"].count()
         frames["embeddings"].count()  # S3 is lazy otherwise
+        frames["inverted_index"].count()  # O18: index built at ingest
         # materialize the chunks stage table (full column scan, not just
         # count) so the query phase measures retrieval, not leftover
         # pipeline work
@@ -120,7 +127,9 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         emb = frames["embeddings"]
         qvec = emb.select("embedding").first()["embedding"]
         v = vector_topk(emb, [float(x) for x in qvec], k=10)
-        kw = keyword_scores(frames["chunks"], "court contract agreement", k=10)
+        kw = keyword_scores_from_index(
+            frames["inverted_index"], "court contract agreement", k=10
+        )
         fuse(v, kw, k=5).collect()
         related_entities(frames["kg_edges"], "Acme Corp", max_depth=2).collect()
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import cc, linking, stages
 from .io import TableIO
+from .query import build_inverted_index
 
 LINEAGE_DDL = (
     "stage string, partition_id int, run_id string, n_rows long, "
@@ -80,6 +81,7 @@ def build_kg_frames(
         "docs": docs,
         "chunks": chunks,
         "embeddings": embeddings,
+        "inverted_index": build_inverted_index(chunks),
         "extracted": extracted,
         "mentions": mentions,
         "raw_edges": raw_edges,
@@ -122,6 +124,7 @@ class Pipeline:
         ("docs", ["pages"]),
         ("chunks", ["docs"]),
         ("embeddings", ["chunks"]),
+        ("inverted_index", ["chunks"]),
         ("extracted", ["chunks"]),
         ("canonical", ["extracted"]),
         ("kg_nodes", ["extracted", "canonical"]),
@@ -153,6 +156,8 @@ class Pipeline:
             return stages.chunk(rd("docs"), self.chunk_size, self.chunk_overlap)
         if table == "embeddings":
             return stages.embed(rd("chunks"), self.embed_dim)
+        if table == "inverted_index":
+            return build_inverted_index(rd("chunks"))
         if table == "extracted":
             return stages.extract(rd("chunks"))
         if table == "canonical":

@@ -53,6 +53,45 @@ def vector_topk(
     )
 
 
+def build_inverted_index(
+    chunks: DataFrame, id_col: str = "chunk_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize the full-text index at ingest (reference O18,
+    elasticsearch_store.py:94-136: ES bulk index built when chunks are
+    written, not at query time): (term, chunk_id, tf) rows. At scale
+    this is written bucketed by term so a query's term lookups prune to
+    a handful of buckets."""
+    return (
+        chunks.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def keyword_scores_from_index(
+    index: DataFrame, query: str, k: int = TOP_K, id_col: str = "chunk_id"
+) -> DataFrame:
+    """Keyword top-k against the materialized inverted index: broadcast
+    the query's terms, sum tf per chunk. The scan touches only the
+    term-matched rows (predicate pushdown on `term`)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    return (
+        index.filter(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def keyword_scores(
     chunks: DataFrame,
     query: str,
@@ -206,6 +245,7 @@ def graphrag_search(
     top_k: int = TOP_K,
     max_depth: int = MAX_DEPTH,
     embed_dim: int = 64,
+    inverted_index: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end GraphRAG retrieval analog, no LLM (reference
     graphrag.search, src/builders/graphrag.py:58-98):
@@ -225,7 +265,11 @@ def graphrag_search(
 
     qvec = embed_text(query_text, embed_dim)
     vec_hits = vector_topk(embeddings, qvec, k=top_k * 2)
-    kw_hits = keyword_scores(chunks, query_text, k=top_k * 2)
+    kw_hits = (
+        keyword_scores_from_index(inverted_index, query_text, k=top_k * 2)
+        if inverted_index is not None
+        else keyword_scores(chunks, query_text, k=top_k * 2)
+    )
     hits = fuse(vec_hits, kw_hits, k=top_k)
     hit_ids = [r["chunk_id"] for r in hits.select("chunk_id").collect()]
     entities = entities_from_chunks(mentions, hit_ids, max_depth=max_depth)

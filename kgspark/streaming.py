@@ -105,6 +105,63 @@ def windowed_lang_counts(
     )
 
 
+SOURCE_STATS_DDL = (
+    "source string, n_pages long, n_chars long, first_ts timestamp, "
+    "last_ts timestamp"
+)
+_STATE_DDL = "n_pages long, n_chars long, first_ts timestamp, last_ts timestamp"
+
+
+def source_stats_stream(
+    pages_stream: DataFrame, timeout_ms: int = 0
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    per-source ingest stats (page count, char volume, first/last
+    capture ts) maintained across micro-batches — the canonical
+    arbitrary-state shape the built-in windowed aggs can't express
+    (running totals over the whole stream, emitted every batch).
+
+    Keyed by the url's source segment; state is one tiny tuple per
+    source, so the state store stays O(#sources) regardless of corpus
+    size. Output mode: update (one refreshed row per touched source
+    per batch)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    def update(key, pdfs, state: GroupState):
+        n_pages, n_chars, first_ts, last_ts = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            n_pages += len(pdf)
+            n_chars += int(pdf["text"].str.len().sum())
+            ts_min = pdf["warc_ts"].min()
+            ts_max = pdf["warc_ts"].max()
+            first_ts = ts_min if first_ts is None else min(first_ts, ts_min)
+            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+        state.update((n_pages, n_chars, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_pages": [n_pages],
+                "n_chars": [n_chars],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    keyed = pages_stream.withColumn(
+        "source", F.element_at(F.split(F.col("url"), "/"), -3)
+    )
+    return keyed.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=SOURCE_STATS_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -42,7 +42,7 @@ def test_partial_resume_from_mid_stage(spark, tmp_path):
     pipe2 = Pipeline(wh)
     snaps2 = pipe2.run(spark, None, CORPUS)
     assert set(pipe2.last_skipped) == {
-        "pages", "docs", "chunks", "embeddings", "extracted"
+        "pages", "docs", "chunks", "embeddings", "inverted_index", "extracted"
     }
     assert snaps2["extracted"] == snaps1["extracted"]
 

@@ -144,3 +144,68 @@ def test_dedup_pages_stream(spark, tmp_path):
     streaming.run_to_parquet(deduped, out, str(tmp_path / "ckpt"))
     urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
     assert urls == ["u1", "u2"]
+
+
+def test_source_stats_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: cumulative per-source stats must carry
+    state across micro-batches (file 2 adds to file 1's totals)."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # docs 0-19 then 20-39: both ranges cover all 20 sources, so every
+    # source receives rows in BOTH micro-batches (state must carry over)
+    p1 = pages_df(spark, 20)
+    p1.coalesce(1).write.mode("append").parquet(landing)
+    p2 = pages_df(spark, 40).join(p1.select("url"), "url", "left_anti")
+    p2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = streaming.stream_pages(spark, landing, max_files_per_trigger=1)
+    q = streaming.run_to_memory(
+        streaming.source_stats_stream(stream), "srcstats", output_mode="update"
+    )
+    rows = spark.sql("select * from srcstats").collect()
+    # memory sink in update mode appends one row per (source, batch);
+    # the LAST row per source carries the cumulative totals
+    last = {}
+    for r in rows:
+        last[r["source"]] = r  # arrival order == batch order per source
+
+    batch = (
+        spark.read.parquet(landing)
+        .withColumn("source", F.element_at(F.split(F.col("url"), "/"), -3))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    ).collect()
+    expect = {r["source"]: r for r in batch}
+    assert set(last) == set(expect)
+    for s, e in expect.items():
+        g = last[s]
+        assert (g["n_pages"], g["n_chars"]) == (e["n_pages"], e["n_chars"]), s
+        assert g["first_ts"] == e["first_ts"] and g["last_ts"] == e["last_ts"]
+    # state actually crossed batches: at least one source appears twice
+    from collections import Counter
+
+    counts = Counter(r["source"] for r in rows)
+    assert max(counts.values()) >= 2
+
+
+def test_keyword_index_matches_direct(spark):
+    """Materialized inverted index must give identical keyword top-k to
+    direct tokenization."""
+    from kgspark import stages
+    from kgspark.query import (
+        build_inverted_index,
+        keyword_scores,
+        keyword_scores_from_index,
+    )
+
+    chunks = stages.chunk(stages.extract_text(pages_df(spark, 40)))
+    idx = build_inverted_index(chunks)
+    q = "court contract agreement the fox"
+    a = sorted(map(tuple, keyword_scores(chunks, q, k=10).collect()))
+    b = sorted(map(tuple, keyword_scores_from_index(idx, q, k=10).collect()))
+    assert a == b
