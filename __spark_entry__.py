@@ -147,6 +147,30 @@ def _q_top_customers(spark, sf_dir):
     )
 
 
+def _q_active_inactive_customers(spark, sf_dir):
+    """Set operations: customers WITH orders (intersect) and WITHOUT
+    (except), tagged and unioned."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    ordered = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    active = cust.intersect(ordered).withColumn("status", F.lit("active"))
+    inactive = cust.exceptAll(ordered.distinct()).withColumn(
+        "status", F.lit("inactive")
+    )
+    return active.unionByName(inactive)
+
+
+def _q_approx_distinct(spark, sf_dir):
+    """Approximate ops (rows-only: HLL++ sketch values are
+    implementation-defined; pytest bounds the relative error vs exact)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from kgspark.dataops import exact_dedup
 
@@ -411,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stats": _q_events_stats,
         "top_events_per_user": _q_top_events_per_user,
         "orders_rollup": _q_orders_rollup,
+        "active_inactive_customers": _q_active_inactive_customers,
+        "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
         # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -511,6 +537,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "active_inactive_customers": """
+            SELECT c_custkey, 'active' AS status FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, 'inactive' AS status FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "top_events_per_user": """
             SELECT user_id, event_id, event_type, value, rn FROM (

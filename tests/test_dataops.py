@@ -176,3 +176,14 @@ def test_embedding_near_dup_exact_and_lsh_recall(spark):
     }
     assert lsh <= exact  # verification step guarantees precision = 1
     assert len(lsh) >= 0.9 * len(exact)  # high recall on tight clusters
+
+
+def test_approx_distinct_error_bound(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()
+    assert got
+    for r in got:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"]), r
