@@ -347,6 +347,16 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     ).select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash pairs -> connected components ->
+    min-doc_id representative (rows-only: xxhash64 signatures)."""
+    from kgspark.dataops import near_dup_clusters
+
+    return near_dup_clusters(
+        _read(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_id")
+
+
 def _q_simhash_near_dup(spark, sf_dir):
     from kgspark.dataops import simhash_near_dup
 
@@ -448,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_fusion_topk": _q_hybrid_fusion,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_near_dup": _q_minhash_near_dup,  # rows-only (xxhash64)
+        "near_dup_clusters": _q_near_dup_clusters,  # rows-only (xxhash64)
         "simhash_near_dup": _q_simhash_near_dup,  # rows-only (simhash UDF)
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # rows-only

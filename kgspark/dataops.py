@@ -188,6 +188,40 @@ def ngram_jaccard(
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame, threshold: float = 0.7, **minhash_kwargs
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the production dedup shape: MinHash
+    candidate pairs above the Jaccard threshold form an edge list;
+    connected components merge transitive chains (A~B~C collapses even
+    when A~C alone misses the threshold); the cluster representative is
+    the minimum doc_id. Returns (doc_id, keep_doc_id, is_dup).
+
+    Composes minhash_near_dup with the same CC used for entity
+    canonicalization (cc.connected_components) — one skew-safe iterative
+    primitive for both jobs."""
+    from .cc import connected_components  # noqa: PLC0415
+
+    pairs = minhash_near_dup(documents, threshold=threshold, **minhash_kwargs)
+    ids = documents.select(F.col("doc_id").cast("string").alias("name"))
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("name_a"),
+        F.col("doc_b").cast("string").alias("name_b"),
+    )
+    comp = connected_components(ids, edges).select(
+        F.col("name").cast("long").alias("doc_id"),
+        F.col("canonical_id").alias("__comp"),
+    )
+    # canonical_id is the lexicographic min of STRING ids; re-derive the
+    # numeric min per component as the representative (agg + join keeps
+    # map-side partial agg in play; no window over skewed components)
+    reps = comp.groupBy("__comp").agg(F.min("doc_id").alias("keep_doc_id"))
+    return comp.join(reps, "__comp").select(
+        "doc_id", "keep_doc_id",
+        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (Arrow-batched pandas UDF for the bit packing)
 # ---------------------------------------------------------------------------

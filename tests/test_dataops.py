@@ -187,3 +187,26 @@ def test_approx_distinct_error_bound(spark):
     assert got
     for r in got:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"]), r
+
+
+def test_near_dup_clusters_transitive(spark):
+    # A~B and B~C near-dups but A,C farther apart: the cluster must
+    # still merge all three (transitivity via CC), keep = min doc_id
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    b = base.replace("lazy", "sleepy")
+    c = b.replace("quick", "speedy")
+    docs = spark.createDataFrame(
+        [(0, base, "en"), (1, b, "en"), (2, c, "en"),
+         (3, "completely unrelated text about database engines and storage", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dataops.near_dup_clusters(
+            docs, threshold=0.5, bands=8
+        ).collect()
+    }
+    assert got[0]["keep_doc_id"] == 0 and not got[0]["is_dup"]
+    assert got[1]["keep_doc_id"] == 0 and got[1]["is_dup"]
+    assert got[2]["keep_doc_id"] == 0 and got[2]["is_dup"]
+    assert got[3]["keep_doc_id"] == 3 and not got[3]["is_dup"]
