@@ -61,14 +61,18 @@ def build_inverted_index(
     written, not at query time): (term, chunk_id, tf) rows. At scale
     this is written bucketed by term so a query's term lookups prune to
     a handful of buckets."""
+    # positive-class extract_all: same [a-z0-9]-run tokens as the
+    # neg-class split, ~3x cheaper in the JVM regex engine and no
+    # empty-string artifacts to filter
     return (
         chunks.select(
             F.col(id_col),
             F.explode(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+                )
             ).alias("term"),
         )
-        .filter(F.col("term") != "")
         .groupBy("term", id_col)
         .agg(F.count("*").cast("double").alias("tf"))
     )
@@ -115,8 +119,12 @@ def keyword_scores(
     )
     tokens = chunks.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("term"),
-    ).filter(F.col("term") != "")
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+            )
+        ).alias("term"),
+    )
     return (
         tokens.join(terms_df, "term")
         .groupBy(id_col)
