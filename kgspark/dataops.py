@@ -203,14 +203,21 @@ def near_dup_clusters(
     from .cc import connected_components  # noqa: PLC0415
 
     pairs = minhash_near_dup(documents, threshold=threshold, **minhash_kwargs)
-    ids = documents.select(F.col("doc_id").cast("string").alias("name"))
+    # CC runs on string labels; recover the ORIGINAL doc_id by joining
+    # the component labels back on the stringified key instead of
+    # casting back (a cast would silently NULL any non-numeric doc_id —
+    # the function is otherwise generic over the id type)
+    ids = documents.select(
+        "doc_id", F.col("doc_id").cast("string").alias("name")
+    )
     edges = pairs.select(
         F.col("doc_a").cast("string").alias("name_a"),
         F.col("doc_b").cast("string").alias("name_b"),
     )
-    comp = connected_components(ids, edges).select(
-        F.col("name").cast("long").alias("doc_id"),
-        F.col("canonical_id").alias("__comp"),
+    comp = (
+        connected_components(ids.select("name"), edges)
+        .join(ids, "name")
+        .select("doc_id", F.col("canonical_id").alias("__comp"))
     )
     # canonical_id is the lexicographic min of STRING ids; re-derive the
     # numeric min per component as the representative (agg + join keeps

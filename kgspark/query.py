@@ -11,9 +11,20 @@ ordered take.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from . import KEYWORD_WEIGHT, MAX_DEPTH, TOP_K, VECTOR_WEIGHT
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def query_terms(query: str) -> list[str]:
+    """Tokenize a query string with the SAME [a-z0-9]+ rule the corpus /
+    inverted index uses — a punctuated query like "court, contract" must
+    yield the terms the index actually stores, not "court,"."""
+    return sorted(set(_TOKEN_RE.findall(query.lower())))
 
 
 def cosine_score(vec_col, query_vec: list[float]):
@@ -84,7 +95,7 @@ def keyword_scores_from_index(
     """Keyword top-k against the materialized inverted index: broadcast
     the query's terms, sum tf per chunk. The scan touches only the
     term-matched rows (predicate pushdown on `term`)."""
-    terms = sorted({t for t in query.lower().split() if t})
+    terms = query_terms(query)
     if not terms:
         return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     return (
@@ -108,7 +119,7 @@ def keyword_scores(
     (fuzziness dropped — documented divergence, SURVEY.md O20).
     Inverted-index shape: explode(split(lower(text))) -> term join ->
     tf sum. Term list is tiny -> broadcast join."""
-    terms = [t for t in query.lower().split() if t]
+    terms = query_terms(query)
     if not terms:
         return chunks.select(
             F.col(id_col), F.lit(0.0).alias("score")
@@ -129,6 +140,118 @@ def keyword_scores(
         tokens.join(terms_df, "term")
         .groupBy(id_col)
         .agg(F.count("*").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _py_char_grams(term: str, q: int) -> list[str]:
+    return sorted({term[i : i + q] for i in range(max(len(term) - q + 1, 1))})
+
+
+def fuzzy_term_weights(
+    index: DataFrame,
+    terms: list[str],
+    max_edit: int = 1,
+    fuzzy_weight: float = 0.5,
+) -> DataFrame:
+    """Expand query terms to index-vocabulary terms within levenshtein
+    <= max_edit — the engine's analog of the reference's ES
+    `fuzziness: "AUTO"` (elasticsearch_store.py:147-151). Returns
+    (term, weight): exact query terms weigh 1.0, fuzzy variants
+    `fuzzy_weight`; a term reached both ways keeps the max.
+
+    Scale shape: candidates come from a char-gram block — the distinct
+    vocab is char-q-grammed once (q=3, or q=2 for short query terms,
+    mirroring ES AUTO's shorter-terms-fewer-edits ladder) and joined
+    against the handful of broadcast query grams, so the only full pass
+    is one narrow scan over the vocabulary; levenshtein runs only on
+    blocked candidates. Gram blocking is exhaustive for terms of length
+    > 2q-1 and best-effort below (documented recall edge, same class of
+    limit as ES AUTO's 0-edit rule for <=2-char terms)."""
+    spark = index.sparkSession
+    qsizes = sorted({2 if len(t) <= 5 else 3 for t in terms})
+    qgrams = [
+        (t, g, q) for t in terms for q in [2 if len(t) <= 5 else 3]
+        for g in _py_char_grams(t, q)
+    ]
+    qg = F.broadcast(
+        spark.createDataFrame(qgrams, "qterm string, gram string, q int")
+    )
+    vocab = index.select("term").distinct()
+    t = F.col("term")
+
+    def _substr_gram(q: int):
+        # single-parameter lambda factory: a 2-arg lambda (even with a
+        # default) would be treated by F.transform as the (element,
+        # index) binary form
+        return lambda i: t.substr(i, F.lit(q))
+
+    vg_parts = [
+        vocab.select(
+            "term",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.length(t) - (q - 1), F.lit(1))
+                        ),
+                        _substr_gram(q),
+                    )
+                )
+            ).alias("gram"),
+            F.lit(q).alias("q"),
+        )
+        for q in qsizes
+    ]
+    vg = vg_parts[0]
+    for part in vg_parts[1:]:
+        vg = vg.unionByName(part)
+    fuzzy = (
+        vg.join(qg, ["gram", "q"])
+        .filter(
+            (F.abs(F.length("term") - F.length("qterm")) <= max_edit)
+            & (F.col("term") != F.col("qterm"))
+        )
+        .select("qterm", "term")
+        .distinct()
+        .filter(F.levenshtein("qterm", "term") <= max_edit)
+        .select("term", F.lit(float(fuzzy_weight)).alias("weight"))
+        .distinct()
+    )
+    exact = spark.createDataFrame(
+        [(t_, 1.0) for t_ in terms], "term string, weight double"
+    )
+    return (
+        exact.unionByName(fuzzy)
+        .groupBy("term")
+        .agg(F.max("weight").alias("weight"))
+    )
+
+
+def keyword_scores_fuzzy(
+    index: DataFrame,
+    query: str,
+    k: int = TOP_K,
+    id_col: str = "chunk_id",
+    max_edit: int = 1,
+    fuzzy_weight: float = 0.5,
+) -> DataFrame:
+    """Keyword top-k with typo tolerance: expand the query's terms over
+    the index vocabulary (fuzzy_term_weights), then weighted tf sum —
+    score = sum(tf * weight) per chunk. The expanded term set is tiny,
+    so the scoring join is a broadcast against the index, exactly like
+    the exact path."""
+    terms = query_terms(query)
+    if not terms:
+        return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    weights = F.broadcast(
+        fuzzy_term_weights(index, terms, max_edit, fuzzy_weight)
+    )
+    return (
+        index.join(weights, "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -254,6 +377,7 @@ def graphrag_search(
     max_depth: int = MAX_DEPTH,
     embed_dim: int = 64,
     inverted_index: DataFrame | None = None,
+    fuzziness: int = 0,
 ) -> dict[str, DataFrame]:
     """End-to-end GraphRAG retrieval analog, no LLM (reference
     graphrag.search, src/builders/graphrag.py:58-98):
@@ -273,11 +397,14 @@ def graphrag_search(
 
     qvec = embed_text(query_text, embed_dim)
     vec_hits = vector_topk(embeddings, qvec, k=top_k * 2)
-    kw_hits = (
-        keyword_scores_from_index(inverted_index, query_text, k=top_k * 2)
-        if inverted_index is not None
-        else keyword_scores(chunks, query_text, k=top_k * 2)
-    )
+    if inverted_index is not None and fuzziness > 0:
+        kw_hits = keyword_scores_fuzzy(
+            inverted_index, query_text, k=top_k * 2, max_edit=fuzziness
+        )
+    elif inverted_index is not None:
+        kw_hits = keyword_scores_from_index(inverted_index, query_text, k=top_k * 2)
+    else:
+        kw_hits = keyword_scores(chunks, query_text, k=top_k * 2)
     hits = fuse(vec_hits, kw_hits, k=top_k)
     hit_ids = [r["chunk_id"] for r in hits.select("chunk_id").collect()]
     entities = entities_from_chunks(mentions, hit_ids, max_depth=max_depth)
@@ -312,7 +439,12 @@ def build_context(
 
 def top_connected_entities(kg_edges: DataFrame, kg_nodes: DataFrame, k: int = 10) -> DataFrame:
     """Flagship query (SURVEY.md §7.2 M1): top-k canonical entities by
-    degree (out+in) over the triple table, joined to node metadata."""
+    degree (out+in) over the triple table, joined to node metadata.
+
+    Output is scalar-only: `labels` (array<string>, already array_sort'd
+    by dedup_nodes) is emitted comma-joined — nested columns break
+    order-insensitive result canonicalization downstream (pandas
+    sort_values can't factorize lists)."""
     degrees = (
         kg_edges.select(F.col("subj").alias("canonical_id"))
         .union(kg_edges.select(F.col("obj").alias("canonical_id")))
@@ -320,7 +452,12 @@ def top_connected_entities(kg_edges: DataFrame, kg_nodes: DataFrame, k: int = 10
         .agg(F.count("*").alias("degree"))
     )
     return (
-        degrees.join(kg_nodes.select("canonical_id", "name", "labels"), "canonical_id")
+        degrees.join(
+            kg_nodes.select(
+                "canonical_id", "name", F.array_join("labels", ",").alias("labels")
+            ),
+            "canonical_id",
+        )
         .orderBy(F.desc("degree"), F.col("canonical_id"))
         .limit(k)
     )

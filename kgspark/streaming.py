@@ -73,12 +73,15 @@ def dedup_pages_stream(
     pages_stream: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:
     """Streaming url-dedup: keep the first arrival of each url within
-    the watermark horizon. State is bounded by the watermark — old url
-    keys are evicted once warc_ts passes, so memory does not grow with
-    the corpus (a 10^12-row corpus would otherwise OOM the state store)."""
-    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url", "warc_ts"]
-    )
+    the watermark horizon — a re-crawl of the same url with a LATER
+    capture timestamp is dropped too (key = url only, not (url, ts)),
+    via dropDuplicatesWithinWatermark. State is bounded by the
+    watermark — url keys are evicted once warc_ts passes the horizon,
+    so memory does not grow with the corpus (a 10^12-row corpus would
+    otherwise OOM the state store)."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
 
 
 def windowed_lang_counts(

@@ -28,6 +28,44 @@ def test_keyword_scores_tf(spark):
     assert got == {"c0": 3.0, "c2": 1.0}
 
 
+def test_keyword_query_tokenized_like_corpus(spark):
+    # a punctuated query must yield the same [a-z0-9]+ terms the index
+    # stores: "court, contract" used to produce the dead term "court,"
+    chunks = spark.createDataFrame(
+        [("c0", "court court contract"), ("c1", "nothing here")],
+        "chunk_id string, text string",
+    )
+    got = {r["chunk_id"]: r["score"] for r in
+           query.keyword_scores(chunks, "Court, contract!", k=5).collect()}
+    assert got == {"c0": 3.0}
+    idx = query.build_inverted_index(chunks)
+    got_idx = {r["chunk_id"]: r["score"] for r in
+               query.keyword_scores_from_index(idx, "Court, contract!", k=5).collect()}
+    assert got_idx == {"c0": 3.0}
+    assert query.query_terms("Court, contract!") == ["contract", "court"]
+
+
+def test_keyword_fuzzy_recovers_typos(spark):
+    # reference parity: ES fuzziness AUTO (elasticsearch_store.py:147-151)
+    # — a one-edit typo ("contrct") still retrieves the intended chunk,
+    # at the documented fuzzy weight; exact matches keep weight 1.0
+    chunks = spark.createDataFrame(
+        [("c0", "contract signed by court"), ("c1", "nothing here at all")],
+        "chunk_id string, text string",
+    )
+    idx = query.build_inverted_index(chunks)
+    exact = {r["chunk_id"]: r["score"] for r in
+             query.keyword_scores_from_index(idx, "contrct", k=5).collect()}
+    assert exact == {}  # exact path misses the typo entirely
+    fuzzy = {r["chunk_id"]: r["score"] for r in
+             query.keyword_scores_fuzzy(idx, "contrct", k=5).collect()}
+    assert fuzzy == {"c0": pytest.approx(0.5)}  # tf=1 * fuzzy_weight
+    # mixed query: exact term at weight 1.0 + typo'd term at 0.5
+    mixed = {r["chunk_id"]: r["score"] for r in
+             query.keyword_scores_fuzzy(idx, "court contrct", k=5).collect()}
+    assert mixed == {"c0": pytest.approx(1.5)}
+
+
 def test_fusion_reference_semantics(spark):
     # graphrag.py:117-168: vector normalized (1+s)/2, keyword s/10,
     # combined = 0.7v + 0.3k; missing side contributes 0
@@ -84,6 +122,10 @@ def test_top_connected_entities(spark):
     )
     got = query.top_connected_entities(edges, nodes, k=2).collect()
     assert [(r["canonical_id"], r["degree"]) for r in got] == [("A", 2), ("B", 2)]
+    # scalar-only output contract: labels is comma-joined, not an array
+    # (nested columns break the driver's pandas canonicalization)
+    assert got[0]["labels"] == "Entity"
+    assert all(not isinstance(v, list) for v in got[0].asDict().values())
 
 
 def test_graphrag_search_end_to_end(spark):

@@ -146,6 +146,26 @@ def test_dedup_pages_stream(spark, tmp_path):
     assert urls == ["u1", "u2"]
 
 
+def test_dedup_pages_stream_recrawl_different_ts(spark, tmp_path):
+    """A re-crawl of the same url with a DIFFERENT capture timestamp
+    (within the watermark horizon) must also be dropped — dedup keys on
+    url alone, not (url, warc_ts)."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = [("u1", _ts(0), None, "a", "en"),
+            ("u1", _ts(5), None, "a2", "en"),   # re-crawl, 5 min later
+            ("u2", _ts(1), None, "b", "en")]
+    spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = streaming.stream_pages(spark, landing)
+    deduped = streaming.dedup_pages_stream(stream)
+    out = str(tmp_path / "out")
+    streaming.run_to_parquet(deduped, out, str(tmp_path / "ckpt"))
+    urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert urls == ["u1", "u2"]
+
+
 def test_source_stats_stateful_across_batches(spark, tmp_path):
     """applyInPandasWithState: cumulative per-source stats must carry
     state across micro-batches (file 2 adds to file 1's totals)."""

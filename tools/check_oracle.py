@@ -25,6 +25,11 @@ def canon(df) -> tuple[int, list[str], list[tuple]]:
     import math
 
     cols = sorted(df.columns)
+    # replicate the driver's canonicalizer strictness: it pandas-
+    # sort_values the frame, which raises TypeError on nested values
+    # (array/map columns). Run the same sort here so any query emitting
+    # a non-scalar column fails locally before it reaches the driver.
+    df = df[cols].sort_values(by=cols).reset_index(drop=True)
     rows = []
     for rec in df[cols].itertuples(index=False, name=None):
         out = []
