@@ -275,8 +275,9 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (rows-only: centroid assignment isn't worth re-deriving
-    in SQL; correctness covered by pytest recall-vs-brute-force)."""
+    """IVF ANN. Oracle re-derives the argmax-cosine cell assignment and
+    the 3 probed cells in SQL (centroids = first 8 embeddings by
+    vec_id, same as here)."""
     from kgspark.dataops import ivf_ann
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -332,10 +333,14 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_near_dup(spark, sf_dir):
+    """MinHash near-dup in the engine-portable md5 hash mode, so the
+    banded candidate generation itself is oracle-checked (the xxhash64
+    production mode shares every line except the hash expression and is
+    covered by pytest recall tests)."""
     from kgspark.dataops import minhash_near_dup
 
     return minhash_near_dup(
-        _read(spark, sf_dir, "documents"), threshold=0.5
+        _read(spark, sf_dir, "documents"), threshold=0.5, hash_mode="md5"
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -348,9 +353,9 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_embedding_near_dup_lsh(spark, sf_dir):
-    """LSH-blocked variant (rows-only: the seeded-Gaussian plane
-    signature isn't worth re-deriving in SQL; recall vs the exact
-    baseline is covered by pytest)."""
+    """LSH-blocked variant. The seeded Gaussian planes are deterministic
+    (seed=42, dim=64), so the oracle inlines the exact plane literals
+    and re-derives the sign-bit band keys in SQL."""
     from kgspark.dataops import embedding_near_dup_lsh
 
     return embedding_near_dup_lsh(
@@ -360,11 +365,12 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
 
 def _q_near_dup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash pairs -> connected components ->
-    min-doc_id representative (rows-only: xxhash64 signatures)."""
+    min-doc_id representative. md5 hash mode makes the pair list SQL-
+    derivable; the oracle closes it transitively with WITH RECURSIVE."""
     from kgspark.dataops import near_dup_clusters
 
     return near_dup_clusters(
-        _read(spark, sf_dir, "documents"), threshold=0.5
+        _read(spark, sf_dir, "documents"), threshold=0.5, hash_mode="md5"
     ).orderBy("doc_id")
 
 
@@ -465,14 +471,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "hybrid_fusion_topk": _q_hybrid_fusion,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_near_dup": _q_minhash_near_dup,  # rows-only (xxhash64)
-        "near_dup_clusters": _q_near_dup_clusters,  # rows-only (xxhash64)
+        "minhash_near_dup": _q_minhash_near_dup,  # md5 portable hash mode
+        "near_dup_clusters": _q_near_dup_clusters,  # md5 + recursive CC oracle
         "simhash_near_dup": _q_simhash_near_dup,  # rows-only (simhash UDF)
         "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # rows-only
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # inlined planes
         # multimodal plumbing (rows-only; pytest-verified fake codec)
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_media_frames,
@@ -493,6 +499,123 @@ _COS_SQL = """
   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
      * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
+
+def _md5h_sql(expr: str) -> str:
+    """Portable 64-bit hash: first 15 hex chars of md5 as BIGINT —
+    matches kgspark.dataops._seeded_hash64(hash_mode="md5") bit-for-bit
+    (Spark: conv(substring(md5(x),1,15),16,10))."""
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def _cos_sql(a: str, b: str, guard_b: bool = False) -> str:
+    """Guarded cosine(a, b) — mirrors kgspark.query.cosine_score: a
+    zero-norm `a` scores 0.0; when guard_b, a zero-norm `b` divides by
+    1.0 instead (the Python-side `or 1.0` in cosine_score)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform({b},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nb_expr = f"CASE WHEN {nb} = 0 THEN 1.0 ELSE {nb} END" if guard_b else nb
+    return f"CASE WHEN {na} > 0 THEN {dot} / ({na} * {nb_expr}) ELSE 0.0 END"
+
+
+def _minhash_pairs_ctes(
+    norm: str, threshold: float, n_hashes: int = 16, bands: int = 4
+) -> str:
+    """CTE chain deriving the md5-mode MinHash near-dup pair list
+    (doc_a, doc_b, jaccard >= threshold) — the SQL twin of
+    kgspark.dataops.minhash_near_dup(hash_mode="md5"). Emits CTEs:
+    sh2 (distinct word 3-shingles), mh_pairs (verified pairs)."""
+    rows_per_band = n_hashes // bands
+    hmins = ",\n                     ".join(
+        "min({h}) AS h{i}".format(h=_md5h_sql(f"'{i}|' || shingle"), i=i)
+        for i in range(n_hashes)
+    )
+    band_selects = "\n              UNION ALL\n              ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b,
+            sig=_md5h_sql(
+                "concat_ws('|', '{b}', {hs})".format(
+                    b=b,
+                    hs=", ".join(
+                        f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                        for r in range(rows_per_band)
+                    ),
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+            sh AS (
+              SELECT doc_id, unnest(list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       for i in range(1, greatest(len(words) - 2, 1) + 1)
+                     ])) AS shingle
+              FROM (SELECT doc_id, string_split({norm}, ' ') AS words
+                    FROM documents) t),
+            sh2 AS (SELECT * FROM sh WHERE shingle <> ''),
+            sigs AS (
+              SELECT doc_id,
+                     {hmins}
+              FROM sh2 GROUP BY doc_id),
+            buckets AS (
+              {band_selects}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a
+              JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+                            AND a.doc_id < b.doc_id),
+            mh_inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cands c
+              JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b),
+            mh_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+            mh_pairs AS (
+              SELECT i.doc_a, i.doc_b,
+                     n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+              FROM mh_inter i
+              JOIN mh_sizes sa ON sa.doc_id = i.doc_a
+              JOIN mh_sizes sb ON sb.doc_id = i.doc_b
+              WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold})"""
+
+
+def _lsh_planes_sql() -> tuple[str, str]:
+    """Inline the exact seeded Gaussian planes used by
+    kgspark.dataops.embedding_near_dup_lsh (n_planes=16, bands=8,
+    seed=42, dim=64) and build the bit + band-key CTE SQL."""
+    from kgspark.dataops import _random_planes
+
+    planes = _random_planes(16, 64, 42)
+    width = 16 // 8
+    bit_cols = ",\n                     ".join(
+        "CASE WHEN list_sum(list_transform(list_zip(embedding, [{vals}]),"
+        " x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN 1 ELSE 0 END AS b{p}".format(
+            vals=", ".join(repr(v) for v in plane), p=p
+        )
+        for p, plane in enumerate(planes)
+    )
+    band_selects = "\n              UNION ALL\n              ".join(
+        "SELECT vec_id, {b} AS band, {key} AS key FROM bits".format(
+            b=b,
+            key=" + ".join(
+                f"b{b * width + r} * {1 << r}" for r in range(width)
+            ),
+        )
+        for b in range(8)
+    )
+    return bit_cols, band_selects
+
 
 _LANG_MARKER_SQL = {
     "de": "'der','die','das','und','nicht'",
@@ -719,4 +842,87 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
         """,
+        "ann_ivf_topk": f"""
+            -- centroids = first 8 embeddings by vec_id (cell index =
+            -- rank); assignment = argmax cosine with first-max-wins
+            -- tie-break, matching array_position(scores, array_max);
+            -- probes = top-3 cells by centroid-query cosine
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS cv
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            probes AS (
+              SELECT cell FROM cents, q
+              ORDER BY {_cos_sql('cv', 'qv')} DESC, cell
+              LIMIT 3),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     {_cos_sql('e.embedding', 'c.cv', guard_b=True)} AS ccos
+              FROM embeddings e CROSS JOIN cents c),
+            assign AS (
+              SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY ccos DESC, cell
+                       ) AS rn
+                FROM scored) t
+              WHERE rn = 1),
+            hits AS (
+              SELECT a.vec_id,
+                     {_cos_sql('a.embedding', 'q.qv', guard_b=True)} AS score
+              FROM assign a JOIN probes p ON a.cell = p.cell, q)
+            SELECT vec_id, round(score, 6) AS score
+            FROM hits ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "minhash_near_dup": f"""
+            WITH {_minhash_pairs_ctes(norm, 0.5)}
+            SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM mh_pairs
+        """,
+        "near_dup_clusters": f"""
+            -- the md5-mode MinHash pair list (same CTEs as the
+            -- minhash_near_dup oracle) closed transitively: WITH
+            -- RECURSIVE reach = every (node, reachable-id) pair over
+            -- the undirected near-dup edges; keep_doc_id = min reach
+            WITH RECURSIVE {_minhash_pairs_ctes(norm, 0.5)},
+            nd_edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, reach.r
+              FROM reach JOIN nd_edges e ON e.a = reach.node)
+            SELECT node AS doc_id, min(r) AS keep_doc_id,
+                   (node <> min(r)) AS is_dup
+            FROM reach GROUP BY node
+        """,
+        "embedding_near_dup_lsh": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            bits AS (
+              SELECT vec_id,
+                     {bit_cols}
+              FROM e),
+            banded AS (
+              {band_selects}),
+            cpairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.key = b.key
+                           AND a.vec_id < b.vec_id),
+            cscored AS (
+              SELECT c.vec_a, c.vec_b,
+                     {cos} AS cosine
+              FROM cpairs c
+              JOIN e ea ON ea.vec_id = c.vec_a
+              JOIN e eb ON eb.vec_id = c.vec_b)
+            SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+            FROM cscored WHERE cosine >= 0.4
+        """.format(
+            bit_cols=_lsh_planes_sql()[0],
+            band_selects=_lsh_planes_sql()[1],
+            cos=_cos_sql("ea.embedding", "eb.embedding"),
+        ),
     }

@@ -96,23 +96,53 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     ).filter(F.col("shingle") != "")
 
 
+def _seeded_hash64(col, seed: int, hash_mode: str):
+    """64-bit seeded hash of a string column. "xxhash64" is the scale
+    default (JVM-native, fastest). "md5" is the engine-portable mode:
+    first 15 hex chars of md5("<seed>|" + value) as a bigint — bit-
+    identical in Spark (conv base16) and DuckDB (('0x'||hex)::BIGINT),
+    which makes MinHash results oracle-checkable cross-engine."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _band_sig(cols, band: int, hash_mode: str):
+    """Bucket key for one band: hash of the band id + its signature
+    slice (decimal-rendered in md5 mode, identically in both engines)."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.lit(band), *cols)
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(band)), *[c.cast("string") for c in cols])),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+
+
 def minhash_near_dup(
     documents: DataFrame,
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures -> banded buckets -> candidate pairs ->
     exact-Jaccard verification. Identical algorithmic shape to
     kgspark.linking.lsh_candidate_edges but over documents; the bucket
-    join is the only shuffle touching pairs."""
+    join is the only shuffle touching pairs. hash_mode="md5" swaps the
+    hash for an engine-portable one (same candidates in DuckDB SQL) —
+    use it for cross-engine verification, xxhash64 in production."""
     rows_per_band = n_hashes // bands
     sh = word_shingles(documents, shingle_n)
 
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(_seeded_hash64(F.col("shingle"), i, hash_mode)).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
@@ -123,12 +153,12 @@ def minhash_near_dup(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
+                        _band_sig(
+                            [
                                 F.col(f"h{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
+                            b, hash_mode,
                         ).alias("sig"),
                     )
                     for b in range(bands)

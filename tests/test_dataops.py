@@ -51,6 +51,20 @@ def test_minhash_finds_near_dup(spark, docs):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_minhash_md5_mode_same_verified_pairs(spark, docs):
+    """The engine-portable md5 hash mode is the same algorithm with a
+    different hash family — on this fixture both modes must verify the
+    same near-dup pairs at the same exact Jaccard (banding may differ
+    in CANDIDATES, but verified pairs at a recall-safe band count
+    coincide here)."""
+    kw = dict(n_hashes=32, bands=16, threshold=0.3)
+    xx = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+          for r in dataops.minhash_near_dup(docs, **kw).collect()}
+    md = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+          for r in dataops.minhash_near_dup(docs, hash_mode="md5", **kw).collect()}
+    assert xx == md
+
+
 def test_ngram_jaccard_exact_value(spark, docs):
     sh = dataops.word_shingles(docs, n=3)
     pairs = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
