@@ -23,6 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 KG_PAGES_CAP = 500  # pages synthesized for KG pipeline queries
 
+_TMP_ROOT: list[str] = []  # lazily-created, removed at process exit
+
+
+def _tmp_dir(label: str) -> str:
+    """Per-process scratch dir for driver queries that need a warehouse
+    / landing dir. One root per process, removed via atexit — repeated
+    driver invocations no longer accumulate /tmp/kgspark_* dirs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _TMP_ROOT:
+        root = tempfile.mkdtemp(prefix="kgspark_entry_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _TMP_ROOT.append(root)
+    path = os.path.join(_TMP_ROOT[0], label)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -404,15 +423,12 @@ def _q_kg_lineage(spark, sf_dir):
     per-partition lineage carries durations/run ids; the rollup keeps
     only the deterministic columns). Exercises the resumable TableIO
     path through the driver contract."""
-    import tempfile
-
     from kgspark.fixtures import pages_df
     from kgspark.pipeline import Pipeline
 
-    wh = tempfile.mkdtemp(prefix="kgspark_lineage_q_")
-    pipe = Pipeline(wh, link_mode="exact")
+    pipe = Pipeline(_tmp_dir("lineage_wh"), link_mode="exact")
     pipe.run(spark, pages_df(spark, 100), corpus_id="pages:n=100:seed=42")
-    lineage = pipe.io.read(spark, "_lineage")
+    lineage = pipe.lineage(spark)
     return (
         lineage.groupBy("stage")
         .agg(F.sum("n_rows").alias("n_rows"))
@@ -425,12 +441,10 @@ def _q_streaming_triples(spark, sf_dir):
     through the streaming S1->S4 path with availableNow, return the
     sink contents. Equality with the batch path is pytest-verified
     (tests/test_streaming.py)."""
-    import tempfile
-
     from kgspark import streaming
     from kgspark.fixtures import pages_df
 
-    tmp = tempfile.mkdtemp(prefix="kgspark_stream_q_")
+    tmp = _tmp_dir("stream_q")
     landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
     pages_df(spark, 100).coalesce(2).write.mode("overwrite").parquet(landing)
     streaming.run_to_parquet(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from typing import Any
 
@@ -89,16 +90,87 @@ class TableIO:
         if snap_id is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         entry = next(s for s in manifest["snapshots"] if s["id"] == snap_id)
+        if entry.get("expired"):
+            raise FileNotFoundError(
+                f"table {table} snapshot {snap_id} has been expired"
+            )
         return spark.read.parquet(entry["path"])
+
+    def read_all(self, spark: SparkSession, table: str) -> DataFrame:
+        """Union of EVERY committed snapshot — the read side of append-
+        only tables (e.g. `_lineage`, where each run commits only its
+        delta instead of rewriting history)."""
+        manifest = self._load_manifest(table)
+        paths = [
+            s["path"] for s in manifest["snapshots"] if not s.get("expired")
+        ]
+        if not paths:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        return spark.read.parquet(*paths)
 
     def current_snapshot(self, table: str) -> str | None:
         return self._load_manifest(table)["current"]
+
+    # -- maintenance (reference O28: kg_builder.clear_all / delete) --------
+    def tables(self) -> list[str]:
+        """Tables with a manifest in this warehouse."""
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.exists(self._manifest_path(d))
+        )
+
+    def drop(self, table: str) -> None:
+        """Remove a table entirely — data dirs and manifest (reference
+        O28, neo4j_store.py clear/delete surface)."""
+        tdir = os.path.join(self.warehouse, table)
+        if os.path.exists(tdir):
+            shutil.rmtree(tdir)
+
+    def truncate(self, table: str) -> None:
+        """Delete all snapshots and reset the manifest to empty; the
+        table keeps existing but has no committed data."""
+        manifest = self._load_manifest(table)
+        for s in manifest["snapshots"]:
+            if os.path.exists(s["path"]):
+                shutil.rmtree(s["path"])
+        self._store_manifest(table, {"snapshots": [], "current": None})
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Iceberg-style snapshot expiry: drop the data of all but the
+        most recent `keep_last` snapshots (the current snapshot is
+        always kept). Returns the expired snapshot ids. Expired entries
+        stay in the manifest flagged `expired` so snapshot ids never
+        get reused, but their lineage no longer satisfies a resume
+        check and their data is gone."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        manifest = self._load_manifest(table)
+        snaps = manifest["snapshots"]
+        keep_ids = {s["id"] for s in snaps[-keep_last:]}
+        if manifest["current"] is not None:
+            keep_ids.add(manifest["current"])
+        expired = []
+        for s in snaps:
+            if s["id"] in keep_ids or s.get("expired"):
+                continue
+            if os.path.exists(s["path"]):
+                shutil.rmtree(s["path"])
+            s["expired"] = True
+            expired.append(s["id"])
+        self._store_manifest(table, manifest)
+        return expired
+
+    def clear_all(self) -> None:
+        """Drop every table in the warehouse (reference clear_all,
+        kg_builder.py:175-187)."""
+        for table in self.tables():
+            self.drop(table)
 
     def find_snapshot(self, table: str, input_snapshot: str | None) -> str | None:
         """Resume check: a committed snapshot whose lineage matches the
         given upstream snapshot id (latest wins)."""
         manifest = self._load_manifest(table)
         for s in reversed(manifest["snapshots"]):
-            if s["input_snapshot"] == input_snapshot:
+            if s["input_snapshot"] == input_snapshot and not s.get("expired"):
                 return s["id"]
         return None

@@ -226,10 +226,16 @@ class Pipeline:
             lineage = lineage_parts[0]
             for part in lineage_parts[1:]:
                 lineage = lineage.unionByName(part)
-            if self.io.current_snapshot("_lineage") is not None:
-                lineage = lineage.unionByName(
-                    self.io.read(spark, "_lineage")
-                )  # cumulative log across runs/resumes
+            # append-only: commit ONLY this run's delta. Earlier runs'
+            # rows stay in their own snapshots — readers use
+            # lineage(), which unions all snapshots — so commit I/O is
+            # O(this run), not O(all history) (a long-lived pipeline
+            # would otherwise rewrite the full log every run).
             self.io.commit("_lineage", lineage, run_id)
         self.last_skipped = skipped
         return snaps
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """The cumulative per-partition lineage log across every run:
+        union of all `_lineage` snapshots (each run appends a delta)."""
+        return self.io.read_all(spark, "_lineage")

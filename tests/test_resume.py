@@ -57,10 +57,38 @@ def test_lineage_rows_written(spark, tmp_path):
     wh = str(tmp_path / "wh3")
     pipe = Pipeline(wh)
     pipe.run(spark, pages_df(spark, N), CORPUS)
-    lineage = pipe.io.read(spark, "_lineage").collect()
+    lineage = pipe.lineage(spark).collect()
     stages_seen = {r["stage"] for r in lineage}
     assert {"docs", "chunks", "extracted", "kg_edges"} <= stages_seen
     for r in lineage:
         assert r["n_rows"] >= 0 and r["duration_ms"] >= 0
     # url counts present where the stage carries urls
     assert any(r["stage"] == "chunks" and r["n_urls"] > 0 for r in lineage)
+
+
+def test_lineage_append_only_across_runs(spark, tmp_path):
+    """Each run commits ONLY its own lineage delta; prior runs' rows
+    are never rewritten (their snapshot files are untouched), and the
+    lineage() union sees every run."""
+    import glob
+    import os
+
+    wh = str(tmp_path / "wh4")
+    pipe = Pipeline(wh)
+    pipe.run(spark, pages_df(spark, N), CORPUS, run_id="r1")
+    snap1_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{wh}/_lineage/s0000/*.parquet")
+    }
+    assert snap1_files
+    # second run over a DIFFERENT corpus -> all stages rebuild
+    pipe.run(spark, pages_df(spark, N + 5), f"pages:n={N + 5}:seed=42",
+             run_id="r2")
+    # run 1's snapshot files were not rewritten
+    for p, mtime in snap1_files.items():
+        assert os.path.getmtime(p) == mtime
+    # run 2's delta holds only run 2; the union holds both
+    last = {r["run_id"] for r in pipe.io.read(spark, "_lineage").collect()}
+    assert last == {"r2"}
+    all_runs = {r["run_id"] for r in pipe.lineage(spark).collect()}
+    assert all_runs == {"r1", "r2"}
