@@ -310,6 +310,37 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """Materialized-IVF probe path: build (or resume) the partitioned
+    assignment index via TableIO, then query it — the cell filter is a
+    partition filter on the index layout. Same semantics as ann_ivf_topk
+    -> same oracle SQL."""
+    from kgspark.dataops import ivf_build, ivf_query
+    from kgspark.io import TableIO
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    io = TableIO(_tmp_dir("ivf_wh"))
+    ivf_build(io, emb, cents, input_key=f"embeddings:{sf_dir}:cents=8")
+    return ivf_query(io, spark, _query_vec(spark, sf_dir), k=10, n_probe=3).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+def _q_kg_graph_stats(spark, sf_dir):
+    """Graph stats surface (rows-only: built over the UDF-derived KG
+    tables; the aggregation itself is trivial algebra)."""
+    from kgspark.query import graph_stats
+
+    frames = _kg_frames(spark, sf_dir)
+    return graph_stats(frames["kg_nodes"], frames["kg_edges"]).orderBy(
+        "dim", "key"
+    )
+
+
 def _q_hybrid_fusion(spark, sf_dir):
     from kgspark.dataops import _marker_hits  # noqa: F401
     from kgspark.query import fuse, vector_topk
@@ -468,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": _q_kg_canonical,
         "kg_khop_related": _q_kg_khop,
         "kg_graphrag_search": _q_kg_graphrag,
+        "kg_graph_stats": _q_kg_graph_stats,
         # relational operators (SQL-checked)
         "dedup_lastwins": _q_dedup_lastwins,
         "endpoint_semi_join": _q_endpoint_semi_join,
@@ -486,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,  # same oracle as ivf
         "hybrid_fusion_topk": _q_hybrid_fusion,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_near_dup": _q_minhash_near_dup,  # md5 portable hash mode
@@ -659,7 +692,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
-    return {
+    oracles = {
         "dedup_lastwins": """
             SELECT user_id, last_event_type, n_events, max_value FROM (
               SELECT user_id, event_type AS last_event_type,
@@ -940,3 +973,7 @@ def oracle_sql() -> dict[str, str]:
             cos=_cos_sql("ea.embedding", "eb.embedding"),
         ),
     }
+    # the materialized-index probe path must return exactly what the
+    # inline IVF computation returns — same oracle
+    oracles["ann_ivf_indexed_topk"] = oracles["ann_ivf_topk"]
+    return oracles

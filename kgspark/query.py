@@ -411,6 +411,72 @@ def graphrag_search(
     return {"hits": hits, "entities": entities}
 
 
+def graphrag_search_cached(
+    io,
+    chunks: DataFrame,
+    embeddings: DataFrame,
+    mentions: DataFrame,
+    query_text: str,
+    top_k: int = TOP_K,
+    max_depth: int = MAX_DEPTH,
+    embed_dim: int = 64,
+    inverted_index: DataFrame | None = None,
+    fuzziness: int = 0,
+    ttl_seconds: float = 3600.0,
+) -> dict:
+    """Query-result cache over graphrag_search — the reference caches
+    search results for 1 h keyed on sha256(query+params)
+    (graphrag.py:44-64,93-96). Here the cache is a pair of TableIO
+    tables keyed on the same digest: a repeated identical query within
+    the TTL is two snapshot reads — zero recompute of the retrieval
+    DAG. Returns {"hits", "entities", "cached": bool}."""
+    import hashlib  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    spark = chunks.sparkSession
+    key = hashlib.sha256(
+        json.dumps(
+            {
+                "q": query_text,
+                "top_k": top_k,
+                "max_depth": max_depth,
+                "embed_dim": embed_dim,
+                "fuzziness": fuzziness,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+    now = time.time()
+    hit_snap = io.find_snapshot("_qcache_hits", key)
+    ent_snap = io.find_snapshot("_qcache_entities", key)
+    if hit_snap is not None and ent_snap is not None:
+        meta = io.snapshot_metadata("_qcache_hits", hit_snap)
+        if now - meta.get("ts", 0.0) <= ttl_seconds:
+            return {
+                "hits": io.read(spark, "_qcache_hits", hit_snap),
+                "entities": io.read(spark, "_qcache_entities", ent_snap),
+                "cached": True,
+            }
+    out = graphrag_search(
+        chunks, embeddings, mentions, query_text,
+        top_k=top_k, max_depth=max_depth, embed_dim=embed_dim,
+        inverted_index=inverted_index, fuzziness=fuzziness,
+    )
+    hs = io.commit(
+        "_qcache_hits", out["hits"], input_snapshot=key, metadata={"ts": now}
+    )
+    es = io.commit(
+        "_qcache_entities", out["entities"], input_snapshot=key,
+        metadata={"ts": now},
+    )
+    return {
+        "hits": io.read(spark, "_qcache_hits", hs),
+        "entities": io.read(spark, "_qcache_entities", es),
+        "cached": False,
+    }
+
+
 def build_context(
     hits: DataFrame,
     entities: DataFrame,
@@ -435,6 +501,36 @@ def build_context(
         parts.append("Related entities:")
         parts.extend(f"- {r['name']}" for r in ent_rows)
     return "\n".join(parts)
+
+
+def graph_stats(kg_nodes: DataFrame, kg_edges: DataFrame) -> DataFrame:
+    """Graph statistics surface — the reference reports entity/relation
+    counts during traversal (neo4j_store.py:310-321); exposed here as
+    one tidy frame: (dim, key, n) with per-label node counts, per-
+    predicate edge counts, and totals. All algebraic aggregations
+    (map-side partial agg; labels pre-exploded distinct) — scale-safe."""
+    label_counts = (
+        kg_nodes.select("canonical_id", F.explode("labels").alias("key"))
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("label").alias("dim"), "key", "n")
+    )
+    pred_counts = (
+        kg_edges.groupBy(F.col("pred").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("pred").alias("dim"), "key", "n")
+    )
+    totals = (
+        kg_nodes.select(F.lit("nodes").alias("key"))
+        .groupBy("key").agg(F.count("*").alias("n"))
+        .unionByName(
+            kg_edges.select(F.lit("edges").alias("key"))
+            .groupBy("key").agg(F.count("*").alias("n"))
+        )
+        .select(F.lit("total").alias("dim"), "key", "n")
+    )
+    return label_counts.unionByName(pred_counts).unionByName(totals)
 
 
 def top_connected_entities(kg_edges: DataFrame, kg_nodes: DataFrame, k: int = 10) -> DataFrame:

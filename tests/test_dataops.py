@@ -109,6 +109,38 @@ def test_ivf_ann_matches_brute_force_topk(spark):
     assert len(set(brute) & set(ivf)) >= 3
 
 
+def test_ivf_index_materialized_prunes_partitions(spark, tmp_path):
+    """ivf_build persists the assignment partitioned by cell; a probe
+    query must (a) return exactly what the inline ivf_ann returns,
+    (b) carry the cell filter as a PARTITION filter in the scan (the
+    scale contract: n_probe dirs read, not the whole table), and
+    (c) resume instead of rebuilding for the same input key."""
+    import random
+
+    from kgspark.io import TableIO
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [rows[i][1] for i in range(0, 200, 25)]
+    q = rows[5][1]
+
+    io = TableIO(str(tmp_path / "wh"))
+    snap = dataops.ivf_build(io, emb, cents, input_key="test:v1")
+    assert dataops.ivf_build(io, emb, cents, input_key="test:v1") == snap
+
+    got = dataops.ivf_query(io, spark, q, k=5, n_probe=4)
+    inline = dataops.ivf_ann(emb, cents, q, 5, n_probe=4).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got.collect()] == [
+        (r["vec_id"], round(r["score"], 9)) for r in inline
+    ]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
 def test_lang_id_predicts_markers(spark, docs):
     got = {r["doc_id"]: r["pred_lang"] for r in dataops.lang_id(docs).collect()}
     assert got[0] == "en"

@@ -128,6 +128,58 @@ def test_top_connected_entities(spark):
     assert all(not isinstance(v, list) for v in got[0].asDict().values())
 
 
+def test_graphrag_query_cache_skips_recompute(spark, tmp_path, monkeypatch):
+    """Reference graphrag.py:44-64: identical query+params within the
+    TTL is served from cache. Evidence of zero recompute: after the
+    first call, vector_topk is monkeypatched to raise — the cached
+    second call must still succeed and match; a changed param or an
+    expired TTL must recompute (and therefore raise)."""
+    from kgspark.fixtures import pages_df
+    from kgspark.io import TableIO
+    from kgspark.pipeline import build_kg_frames
+
+    frames = build_kg_frames(spark, pages_df(spark, 40), link_mode="exact")
+    io = TableIO(str(tmp_path / "wh"))
+    args = (frames["chunks"], frames["embeddings"], frames["mentions"],
+            "court contract agreement")
+    first = query.graphrag_search_cached(io, *args, top_k=3)
+    assert first["cached"] is False
+    hits1 = sorted((r["chunk_id"], round(r["combined_score"], 9))
+                   for r in first["hits"].collect())
+
+    def boom(*a, **kw):
+        raise AssertionError("retrieval recomputed despite cache hit")
+
+    monkeypatch.setattr(query, "vector_topk", boom)
+    second = query.graphrag_search_cached(io, *args, top_k=3)
+    assert second["cached"] is True
+    hits2 = sorted((r["chunk_id"], round(r["combined_score"], 9))
+                   for r in second["hits"].collect())
+    assert hits1 == hits2
+    # different params -> different key -> recompute path (raises)
+    with pytest.raises(AssertionError, match="recomputed"):
+        query.graphrag_search_cached(io, *args, top_k=4)
+    # expired TTL -> recompute path (raises)
+    with pytest.raises(AssertionError, match="recomputed"):
+        query.graphrag_search_cached(io, *args, top_k=3, ttl_seconds=0.0)
+
+
+def test_graph_stats_tidy_counts(spark):
+    nodes = spark.createDataFrame(
+        [("A", "A", ["Org"]), ("B", "B", ["Org", "Law"]), ("C", "C", ["Law"])],
+        "canonical_id string, name string, labels array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("A", "R", "B"), ("A", "S", "C"), ("B", "R", "C")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["dim"], r["key"]): r["n"]
+           for r in query.graph_stats(nodes, edges).collect()}
+    assert got[("total", "nodes")] == 3 and got[("total", "edges")] == 3
+    assert got[("label", "Org")] == 2 and got[("label", "Law")] == 2
+    assert got[("pred", "R")] == 2 and got[("pred", "S")] == 1
+
+
 def test_graphrag_search_end_to_end(spark):
     """Full O19->O24 retrieval analog over a built KG (no LLM)."""
     from kgspark.fixtures import pages_df
