@@ -25,11 +25,16 @@ def connected_components(
     names: DataFrame,
     sim_edges: DataFrame,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """names(name) + sim_edges(name_a, name_b) -> canonical(name, canonical_id).
 
     canonical_id is the lexicographic minimum name of the component —
     deterministic under any parallelism / cluster size.
+
+    When `stats` is passed, records {"rounds": n} — the number of
+    propagate+jump rounds until convergence (the scale invariant the
+    pointer-jumping step buys: O(log diameter), not O(diameter)).
     """
     # undirected: propagate both ways
     edges = (
@@ -49,10 +54,13 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     if edges.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
         return labels.select("name", F.col("comp").alias("canonical_id"))
 
     edges = edges.localCheckpoint(eager=True)
 
+    rounds = 0
     for _ in range(max_iter):
         # (1) neighbor-min propagation
         neighbor_min = (
@@ -91,7 +99,10 @@ def connected_components(
         )
         changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.select("name", "comp")
+        rounds += 1
         if changed == 0:
             break
 
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("name", F.col("comp").alias("canonical_id"))

@@ -51,3 +51,49 @@ def test_long_chain_converges(spark, n):
     edges = [(names[i], names[i + 1]) for i in range(n - 1)]
     got = _run(spark, names, edges)
     assert set(got.values()) == {"n000"}
+
+
+def test_100k_nodes_round_count_logarithmic(spark):
+    """Cluster-shaped evidence for the docs/SCALE.md claim: 10^5 nodes
+    with a diameter-1024 chain + 10k 8-node stars + isolated tail must
+    converge in O(log2 diameter) rounds (pointer jumping), not
+    O(diameter). Bound: ceil(log2(1024)) + 4 margin = 14 rounds."""
+    from pyspark.sql import functions as F
+
+    chain_n, star_k, stars = 1024, 8, 10_000
+    n_total = 100_000
+    names = spark.range(n_total).select(
+        F.format_string("n%06d", F.col("id")).alias("name")
+    )
+    chain = spark.range(chain_n - 1).select(
+        F.format_string("n%06d", F.col("id")).alias("name_a"),
+        F.format_string("n%06d", F.col("id") + 1).alias("name_b"),
+    )
+    # stars occupy ids [chain_n, chain_n + stars*star_k)
+    star_edges = spark.range(stars * (star_k - 1)).select(
+        (F.col("id") / (star_k - 1)).cast("long").alias("hub"),
+        (F.col("id") % (star_k - 1)).alias("spoke"),
+    ).select(
+        F.format_string(
+            "n%06d", F.lit(chain_n) + F.col("hub") * star_k
+        ).alias("name_a"),
+        F.format_string(
+            "n%06d", F.lit(chain_n) + F.col("hub") * star_k + F.col("spoke") + 1
+        ).alias("name_b"),
+    )
+    stats: dict = {}
+    comp = connected_components(
+        names, chain.unionByName(star_edges), stats=stats
+    )
+    agg = comp.groupBy("canonical_id").count()
+    sizes = {r["count"]: 0 for r in agg.collect()}
+    for r in agg.collect():
+        sizes[r["count"]] = sizes.get(r["count"], 0) + 1
+    n_components = agg.count()
+    # 1 chain + 10k stars + (100k - 1024 - 80k) isolated
+    isolated = n_total - chain_n - stars * star_k
+    assert n_components == 1 + stars + isolated
+    # chain collapsed to its min label in logarithmic rounds
+    assert stats["rounds"] <= 14, stats
+    chain_label = comp.filter(F.col("name") == f"n{chain_n - 1:06d}").first()
+    assert chain_label["canonical_id"] == "n000000"
