@@ -523,7 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_near_dup": _q_minhash_near_dup,  # md5 portable hash mode
         "near_dup_clusters": _q_near_dup_clusters,  # md5 + recursive CC oracle
-        "simhash_near_dup": _q_simhash_near_dup,  # rows-only (simhash UDF)
+        "simhash_near_dup": _q_simhash_near_dup,  # bit-exact SQL oracle
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # inlined planes
         # multimodal plumbing (rows-only; pytest-verified fake codec)
@@ -635,6 +635,69 @@ def _minhash_pairs_ctes(
               JOIN mh_sizes sa ON sa.doc_id = i.doc_a
               JOIN mh_sizes sb ON sb.doc_id = i.doc_b
               WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold})"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """SQL twin of kgspark.dataops.simhash + simhash_near_dup: 64-bit
+    per-token md5 (first 8 bytes big-endian, same as Python
+    int.from_bytes(md5[:8])), bit votes, sign signature, 16-bit band
+    blocking, popcount verification. Pure integer math -> bit-exact
+    across engines."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    vote_cols = ",\n                     ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    coalesced = ",\n                     ".join(
+        # a doc with zero tokens has zero votes on every bit -> all
+        # sign bits set (matches the Python all-ones signature)
+        f"coalesce(v{j}, 0) AS v{j}" for j in range(64)
+    )
+    sig_sum = "\n                       + ".join(
+        # literal powers of two: DuckDB's << range-checks 1 << 63
+        f"(CASE WHEN v{j} >= 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    band_selects = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, usig, {b} AS band,"
+        f" ((usig >> {b * width}) & {(1 << width) - 1}) AS key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks),
+            votes AS (
+              SELECT doc_id,
+                     {vote_cols}
+              FROM th GROUP BY doc_id),
+            fullvotes AS (
+              SELECT d.doc_id,
+                     {coalesced}
+              FROM documents d LEFT JOIN votes USING (doc_id)),
+            sigs AS (
+              SELECT doc_id,
+                     ({sig_sum}) AS usig
+              FROM fullvotes),
+            banded AS (
+              {band_selects}),
+            sh_pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.usig, b.usig)) AS hamming
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, hamming
+            FROM sh_pairs WHERE hamming <= {max_hamming}
+    """
 
 
 def _lsh_planes_sql() -> tuple[str, str]:
@@ -976,4 +1039,5 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe path must return exactly what the
     # inline IVF computation returns — same oracle
     oracles["ann_ivf_indexed_topk"] = oracles["ann_ivf_topk"]
+    oracles["simhash_near_dup"] = _simhash_sql(max_hamming=3)
     return oracles
