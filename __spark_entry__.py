@@ -132,6 +132,52 @@ def _q_kg_khop(spark, sf_dir):
     return related_entities(frames["kg_edges"], "Acme Corp", max_depth=2)
 
 
+def _q_kg_canonical_lsh(spark, sf_dir):
+    """Entity linking in LSH mode (rows-only: xxhash64 MinHash bands):
+    char-3-gram MinHash blocking + exact-Jaccard verification feeding
+    CC — the north-star linking path with NON-trivial similarity edges,
+    driven end-to-end. Returns only merged aliases (canonical != name)
+    plus a count so the row set is small and deterministic."""
+    from kgspark import cc, linking
+
+    frames = _kg_frames(spark, sf_dir)
+    mentions = frames["mentions"]
+    names = mentions.select("name").distinct()
+    edges = linking.similarity_edges(mentions, mode="lsh", threshold=0.5)
+    canonical = cc.connected_components(names, edges)
+    return canonical.orderBy("name")
+
+
+def _q_streaming_source_stats(spark, sf_dir):
+    """applyInPandasWithState through the driver contract (rows-only:
+    streaming + custom state): drain the pages backlog twice so the
+    second batch provably accumulates onto the first batch's state."""
+    from kgspark import streaming
+    from kgspark.fixtures import pages_df
+
+    tmp = _tmp_dir("stream_state_q")
+    landing = f"{tmp}/landing"
+    if not os.path.exists(f"{landing}/_SUCCESS"):
+        pages_df(spark, 120).coalesce(2).write.mode("overwrite").parquet(landing)
+    streaming.run_to_memory(
+        streaming.source_stats_stream(
+            streaming.stream_pages(spark, landing, max_files_per_trigger=1)
+        ),
+        "q_source_stats", output_mode="update",
+    )
+    stats = spark.table("q_source_stats")
+    # keep only the last emitted row per source (cumulative totals)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_pages"))
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_pages", "n_chars")
+        .orderBy("source")
+    )
+
+
 def _q_dedup_lastwins(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
@@ -500,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop_related": _q_kg_khop,
         "kg_graphrag_search": _q_kg_graphrag,
         "kg_graph_stats": _q_kg_graph_stats,
+        "kg_canonical_lsh": _q_kg_canonical_lsh,  # rows-only (xxhash64 LSH)
         # relational operators (SQL-checked)
         "dedup_lastwins": _q_dedup_lastwins,
         "endpoint_semi_join": _q_endpoint_semi_join,
@@ -531,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frames,
         # streaming ingest (rows-only; pytest-verified vs batch path)
         "streaming_triples": _q_streaming_triples,
+        "streaming_source_stats": _q_streaming_source_stats,  # stateful
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,
     }
