@@ -345,6 +345,10 @@ def related_entities(
         kg_edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
         .union(kg_edges.select(F.col("obj").alias("a"), F.col("subj").alias("b")))
         .distinct()
+        # materialize once: every hop joins against this frame, and
+        # without the checkpoint each round re-runs the union+distinct
+        # shuffle (and, upstream, the edge materialization)
+        .localCheckpoint(eager=True)
     )
     spark = kg_edges.sparkSession
     frontier = spark.createDataFrame([(entity_name,)], "a string")
