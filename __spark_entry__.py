@@ -277,6 +277,68 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+def _q_top_terms(spark, sf_dir):
+    """Corpus-wide term frequency top-50 — the tokenize->explode->agg->
+    top-k shape every corpus-stats job uses (map-side partial agg
+    absorbs hot terms; TakeOrderedAndProject for the top-k)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )
+
+
+def _q_streaming_lang_windows(spark, sf_dir):
+    """Watermarked tumbling-window ingest stats through the driver
+    contract (rows-only: streaming). Append mode only emits windows the
+    watermark has CLOSED, so a far-future sentinel file (processed last
+    via maxFilesPerTrigger=1) advances the watermark past every real
+    window — all 200 fixture pages are then deterministically counted;
+    the sentinel's own window never closes and is filtered anyway."""
+    import datetime as dt
+
+    from kgspark import streaming
+    from kgspark.fixtures import PAGES_DDL, pages_df
+
+    tmp = _tmp_dir("stream_window_q")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    marker = f"{tmp}/sentinel_done"  # outside landing: the file source
+    if not os.path.exists(marker):   # would try to read it as parquet
+        pages_df(spark, 200).coalesce(2).write.mode("append").parquet(landing)
+        sentinel_ts = dt.datetime(
+            2024, 1, 1, tzinfo=dt.timezone.utc
+        ) + dt.timedelta(hours=12)
+        spark.createDataFrame(
+            [("sentinel", sentinel_ts, None, "end", "sentinel")], PAGES_DDL
+        ).coalesce(1).write.mode("append").parquet(landing)
+        open(marker, "w").close()
+    streaming.run_to_parquet(
+        streaming.windowed_lang_counts(
+            streaming.stream_pages(spark, landing, max_files_per_trigger=1)
+        ),
+        out, ckpt,
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang") != "sentinel")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("n_pages").alias("n_pages"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_events_stats(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
@@ -563,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,  # same oracle as ivf
@@ -579,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming ingest (rows-only; pytest-verified vs batch path)
         "streaming_triples": _q_streaming_triples,
         "streaming_source_stats": _q_streaming_source_stats,  # stateful
+        "streaming_lang_windows": _q_streaming_lang_windows,  # watermark
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,
     }
@@ -999,6 +1063,15 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
+        """,
+        "top_terms": """
+            SELECT term, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS term
+                  FROM documents) t
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 50
         """,
         "ann_ivf_topk": f"""
             -- centroids = first 8 embeddings by vec_id (cell index =

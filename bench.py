@@ -75,8 +75,17 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     # Python-heavy stages occupy a JVM task thread AND a forked python
     # worker per task; at high core counts reserving 2 cpus/task sizes
     # concurrency to physical cores instead of 2x-oversubscribing
-    # (measured 26% faster at local[32] on the heavy-page corpus)
-    extra = {"spark.task.cpus": "2"} if cpus >= 16 else {}
+    # (measured 26% faster at local[32] on the heavy-page corpus).
+    # KGSPARK_BENCH_TASK_CPUS forces a fixed task width at EVERY level —
+    # the scaling protocol sets 2 so a "slot" (JVM thread + Python
+    # worker) costs the same cores at local[2] and local[8]; otherwise
+    # the small level is flattered by Python workers borrowing idle
+    # host cores outside its nominal budget.
+    forced = os.environ.get("KGSPARK_BENCH_TASK_CPUS")
+    if forced:
+        extra = {"spark.task.cpus": forced}
+    else:
+        extra = {"spark.task.cpus": "2"} if cpus >= 16 else {}
     spark = get_spark(
         "kgspark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
         extra_conf=extra,

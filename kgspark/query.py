@@ -115,8 +115,8 @@ def keyword_scores(
     text_col: str = "text",
 ) -> DataFrame:
     """Keyword top-k (reference O20, elasticsearch_store.py:138-178),
-    approximated as summed term frequency of the query's tokens
-    (fuzziness dropped — documented divergence, SURVEY.md O20).
+    as summed term frequency of the query's tokens; for the reference's
+    `fuzziness: AUTO` behavior use keyword_scores_fuzzy (index path).
     Inverted-index shape: explode(split(lower(text))) -> term join ->
     tf sum. Term list is tiny -> broadcast join."""
     terms = query_terms(query)

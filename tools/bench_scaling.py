@@ -52,6 +52,12 @@ def run_once(sf_dir: str, cpus: int, zip_path: Path, n_pages: int,
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["KGSPARK_BENCH_PAGES"] = str(n_pages)
     env["KGSPARK_BENCH_SENT_SCALE"] = str(sent_scale)
+    # equalize slot width across levels: one task = JVM thread + Python
+    # worker = 2 cores at BOTH local[2] and local[8] (1 slot vs 4 slots
+    # = the N -> 4N proxy). Without this the 2-core level's Python
+    # workers borrow idle host cores beyond its nominal budget and the
+    # measured ratio understates true scaling.
+    env.setdefault("KGSPARK_BENCH_TASK_CPUS", "2")
     cmd = [
         "spark-submit",
         "--master", f"local[{cpus}]",
