@@ -277,6 +277,12 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+def _q_corpus_filter(spark, sf_dir):
+    from kgspark.dataops import corpus_filter
+
+    return corpus_filter(_read(spark, sf_dir, "documents"))
+
+
 def _q_top_terms(spark, sf_dir):
     """Corpus-wide term frequency top-50 — the tokenize->explode->agg->
     top-k shape every corpus-stats job uses (map-side partial agg
@@ -625,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "corpus_filter": _q_corpus_filter,
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1063,6 +1070,30 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
+        """,
+        "corpus_filter": f"""
+            WITH keep_ids AS (
+              SELECT md5({norm}) AS fingerprint,
+                     min(doc_id) AS keep_doc_id
+              FROM documents GROUP BY 1),
+            scored AS (
+              SELECT d.doc_id, k.keep_doc_id,
+                     length(d.text) AS n_chars,
+                     len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_words,
+                     (length(d.text) - length(regexp_replace(d.text,
+                         '[.!?,;:''"()\\-]', '', 'g')))
+                       / greatest(length(d.text), 1) AS punct_ratio
+              FROM documents d
+              JOIN keep_ids k ON md5({norm.replace("text", "d.text")}) = k.fingerprint),
+            reasons AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id <> keep_doc_id THEN 'duplicate'
+                          WHEN n_chars < 200 THEN 'too_short'
+                          WHEN n_words < 30 THEN 'too_few_words'
+                          WHEN punct_ratio > 0.10 THEN 'too_much_punct'
+                          ELSE 'ok' END AS reason
+              FROM scored)
+            SELECT doc_id, (reason = 'ok') AS keep, reason FROM reasons
         """,
         "top_terms": """
             SELECT term, count(*) AS n

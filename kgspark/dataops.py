@@ -639,6 +639,50 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_filter(
+    documents: DataFrame,
+    min_chars: int = 200,
+    max_punct_ratio: float = 0.10,
+    min_words: int = 30,
+) -> DataFrame:
+    """The composed keep/drop decision of a pretraining data pipeline:
+    exact-dup removal (keep the min-doc_id copy), length floor,
+    word-count floor, punctuation ceiling — evaluated in a fixed rule
+    order so `reason` is deterministic. Returns (doc_id, keep, reason).
+
+    One narrow scan + one fingerprint aggregation (the same algebraic
+    groupBy as exact_dedup) joined back — no UDFs, fully Catalyst-
+    optimized and oracle-checkable."""
+    fp = F.md5(norm_text(F.col("text")))
+    keep_ids = (
+        documents.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.!?,;:'\"()\-]", ""))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    scored = documents.select(
+        "doc_id", fp.alias("fingerprint"),
+        n_chars.alias("__chars"), n_words.alias("__words"),
+        punct_ratio.alias("__punct"),
+    ).join(keep_ids, "fingerprint")
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.lit("duplicate"))
+        .when(F.col("__chars") < min_chars, F.lit("too_short"))
+        .when(F.col("__words") < min_words, F.lit("too_few_words"))
+        .when(F.col("__punct") > max_punct_ratio, F.lit("too_much_punct"))
+        .otherwise(F.lit("ok"))
+    )
+    return scored.select(
+        "doc_id",
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Quality heuristics: char length, punctuation ratio, stopword
     ratio, mean word length — the standard pretraining-filter features."""

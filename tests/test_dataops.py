@@ -51,6 +51,30 @@ def test_minhash_finds_near_dup(spark, docs):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_corpus_filter_rule_order_and_keep(spark):
+    """Fixed rule order: duplicate beats too_short beats too_few_words
+    beats too_much_punct; a clean long doc keeps."""
+    long_ok = "word " * 60                      # 300 chars, 60 words
+    punct_heavy = ("abcdefgh!! " * 30).strip()  # >200 chars, >30 words, punct>10%
+    rows = [
+        (0, long_ok, "en"),
+        (1, long_ok, "en"),            # exact dup of 0 -> duplicate
+        (2, "tiny", "en"),             # -> too_short
+        (3, "w " * 120, "en"),         # 240 chars but... 120 words -> ok? chars=240 words=120
+        (4, punct_heavy, "en"),        # -> too_much_punct
+        (5, ("word " * 45)[:220], "en"),  # 220 chars, ~44 words -> ok
+    ]
+    d = spark.createDataFrame(rows, DOCS_DDL)
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in dataops.corpus_filter(d).collect()}
+    assert got[0] == (True, "ok")
+    assert got[1] == (False, "duplicate")
+    assert got[2] == (False, "too_short")
+    assert got[3] == (True, "ok")
+    assert got[4] == (False, "too_much_punct")
+    assert got[5] == (True, "ok")
+
+
 def test_minhash_md5_mode_same_verified_pairs(spark, docs):
     """The engine-portable md5 hash mode is the same algorithm with a
     different hash family — on this fixture both modes must verify the
