@@ -136,8 +136,9 @@ def _q_kg_canonical_lsh(spark, sf_dir):
     """Entity linking in LSH mode (rows-only: xxhash64 MinHash bands):
     char-3-gram MinHash blocking + exact-Jaccard verification feeding
     CC — the north-star linking path with NON-trivial similarity edges,
-    driven end-to-end. Returns only merged aliases (canonical != name)
-    plus a count so the row set is small and deterministic."""
+    driven end-to-end. Returns the full (name, canonical_id) mapping for
+    every distinct mention name, ordered by name — merged aliases are
+    the rows where canonical_id != name."""
     from kgspark import cc, linking
 
     frames = _kg_frames(spark, sf_dir)
@@ -319,13 +320,25 @@ def _q_streaming_lang_windows(spark, sf_dir):
     landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
     marker = f"{tmp}/sentinel_done"  # outside landing: the file source
     if not os.path.exists(marker):   # would try to read it as parquet
+        import glob  # noqa: PLC0415
+
         pages_df(spark, 200).coalesce(2).write.mode("append").parquet(landing)
+        data_files = set(glob.glob(f"{landing}/*.parquet"))
         sentinel_ts = dt.datetime(
             2024, 1, 1, tzinfo=dt.timezone.utc
         ) + dt.timedelta(hours=12)
         spark.createDataFrame(
             [("sentinel", sentinel_ts, None, "end", "sentinel")], PAGES_DDL
         ).coalesce(1).write.mode("append").parquet(landing)
+        # the file source orders by modification time; with
+        # maxFilesPerTrigger=1 the sentinel MUST be processed last or
+        # its far-future event time advances the watermark early and
+        # silently drops whole data files in append mode. A same-second
+        # mtime tie makes that ordering ambiguous — bump the sentinel
+        # file's mtime strictly past every data file's.
+        data_mtime = max(os.path.getmtime(f) for f in data_files)
+        for f in set(glob.glob(f"{landing}/*.parquet")) - data_files:
+            os.utime(f, (data_mtime + 2.0, data_mtime + 2.0))
         open(marker, "w").close()
     streaming.run_to_parquet(
         streaming.windowed_lang_counts(
@@ -438,10 +451,14 @@ def _q_ann_ivf_indexed(spark, sf_dir):
         for r in emb.orderBy("vec_id").limit(8).collect()
     ]
     io = TableIO(_tmp_dir("ivf_wh"))
-    ivf_build(io, emb, cents, input_key=f"embeddings:{sf_dir}:cents=8")
-    return ivf_query(io, spark, _query_vec(spark, sf_dir), k=10, n_probe=3).select(
-        "vec_id", F.round("score", 6).alias("score")
-    )
+    # thread the snapshot id through: ivf_build resumes without
+    # committing when input_key matches, so querying the manifest's
+    # CURRENT snapshot instead could read another sf_dir's index when
+    # one process serves several sf_dirs interleaved
+    snap = ivf_build(io, emb, cents, input_key=f"embeddings:{sf_dir}:cents=8")
+    return ivf_query(
+        io, spark, _query_vec(spark, sf_dir), k=10, n_probe=3, snapshot=snap
+    ).select("vec_id", F.round("score", 6).alias("score"))
 
 
 def _q_kg_graph_stats(spark, sf_dir):

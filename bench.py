@@ -180,10 +180,16 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
 
     ivf_wh = tempfile.mkdtemp(prefix="kgspark_bench_ivf_")
     ivf_io = TableIO(ivf_wh)
-    timed("ann_ivf_build", lambda: ivf_build(ivf_io, emb, cents))
+    ivf_snap: dict = {}
+    timed(
+        "ann_ivf_build",
+        lambda: ivf_snap.update(s=ivf_build(ivf_io, emb, cents)),
+    )
     timed(
         "ann_ivf_indexed_topk",
-        lambda: ivf_query(ivf_io, spark, qvec, 10, 3).collect(),
+        lambda: ivf_query(
+            ivf_io, spark, qvec, 10, 3, snapshot=ivf_snap["s"]
+        ).collect(),
     )
     shutil.rmtree(ivf_wh, ignore_errors=True)
 

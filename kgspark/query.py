@@ -427,18 +427,31 @@ def graphrag_search_cached(
     inverted_index: DataFrame | None = None,
     fuzziness: int = 0,
     ttl_seconds: float = 3600.0,
+    corpus_id: str | None = None,
 ) -> dict:
     """Query-result cache over graphrag_search — the reference caches
     search results for 1 h keyed on sha256(query+params)
     (graphrag.py:44-64,93-96). Here the cache is a pair of TableIO
     tables keyed on the same digest: a repeated identical query within
     the TTL is two snapshot reads — zero recompute of the retrieval
-    DAG. Returns {"hits", "entities", "cached": bool}."""
+    DAG. Returns {"hits", "entities", "cached": bool}.
+
+    Unlike the reference's in-memory per-store cache, this cache is
+    persisted in a warehouse and survives processes — so the key must
+    also carry the CORPUS identity, or a rebuilt/different corpus
+    sharing the warehouse would be served stale hits for up to the TTL.
+    Pass `corpus_id` (e.g. the chunks-table snapshot id); it defaults to
+    the warehouse's current `chunks` snapshot when one exists."""
     import hashlib  # noqa: PLC0415
     import json  # noqa: PLC0415
     import time  # noqa: PLC0415
 
     spark = chunks.sparkSession
+    if corpus_id is None:
+        try:
+            corpus_id = io.current_snapshot("chunks")
+        except OSError:
+            corpus_id = None
     key = hashlib.sha256(
         json.dumps(
             {
@@ -447,6 +460,7 @@ def graphrag_search_cached(
                 "max_depth": max_depth,
                 "embed_dim": embed_dim,
                 "fuzziness": fuzziness,
+                "corpus": corpus_id,
             },
             sort_keys=True,
         ).encode()

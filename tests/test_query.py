@@ -162,6 +162,10 @@ def test_graphrag_query_cache_skips_recompute(spark, tmp_path, monkeypatch):
     # expired TTL -> recompute path (raises)
     with pytest.raises(AssertionError, match="recomputed"):
         query.graphrag_search_cached(io, *args, top_k=3, ttl_seconds=0.0)
+    # a DIFFERENT corpus sharing the warehouse must never be served the
+    # old corpus's cached hits — corpus_id is part of the key
+    with pytest.raises(AssertionError, match="recomputed"):
+        query.graphrag_search_cached(io, *args, top_k=3, corpus_id="rebuilt-v2")
 
 
 def test_graph_stats_tidy_counts(spark):
