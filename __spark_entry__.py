@@ -126,10 +126,33 @@ def _q_kg_graphrag(spark, sf_dir):
 
 
 def _q_kg_khop(spark, sf_dir):
+    """k-hop expansion returning the reference's full surface (rows-
+    only: iterative BFS): name + labels + properties + the path's
+    rel_types + hops, all scalar columns (neo4j_store.py:372-407
+    RETURNs e2, labels(e2), rel_types)."""
     from kgspark.query import related_entities
 
     frames = _kg_frames(spark, sf_dir)
-    return related_entities(frames["kg_edges"], "Acme Corp", max_depth=2)
+    return related_entities(
+        frames["kg_edges"], "Acme Corp", max_depth=2,
+        kg_nodes=frames["kg_nodes"],
+    )
+
+
+def _q_kg_graphrag_entities(spark, sf_dir):
+    """The entity half of GraphRAG retrieval with full entity rows
+    (rows-only: UDF featurizer upstream): expanded from the fused hit
+    chunks, carrying labels / properties / rel_types scalars exactly
+    like the reference's get_entities_from_chunks return
+    (neo4j_store.py:331-360)."""
+    from kgspark.query import graphrag_search
+
+    frames = _kg_frames(spark, sf_dir)
+    out = graphrag_search(
+        frames["chunks"], frames["embeddings"], frames["mentions"],
+        "court contract agreement", top_k=5, kg_nodes=frames["kg_nodes"],
+    )
+    return out["entities"]
 
 
 def _q_kg_canonical_lsh(spark, sf_dir):
@@ -500,6 +523,20 @@ def _q_hybrid_fusion(spark, sf_dir):
     )
 
 
+def _q_keyword_bm25(spark, sf_dir):
+    """BM25 relevance top-10 over the documents inverted index — the
+    df/length-normalized analog of the reference's ES best_fields
+    scoring. Fully SQL-expressible: the oracle re-derives the index,
+    doc lengths, df and the Lucene idf in DuckDB."""
+    from kgspark.query import build_inverted_index, keyword_scores_bm25
+
+    docs = _read(spark, sf_dir, "documents")
+    index = build_inverted_index(docs, id_col="doc_id", text_col="text")
+    return keyword_scores_bm25(
+        index, "spark data query", k=10, id_col="doc_id"
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from kgspark.dataops import ngram_jaccard, word_shingles
 
@@ -556,9 +593,15 @@ def _q_near_dup_clusters(spark, sf_dir):
 
 
 def _q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup in the engine-portable md5 signature mode so the
+    whole flow is bit-exact against the DuckDB oracle; the xxhash64
+    production mode (fully JVM-side) shares every line except the
+    signature kernel and is pytest-covered for pair-set agreement."""
     from kgspark.dataops import simhash_near_dup
 
-    return simhash_near_dup(_read(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dup(
+        _read(spark, sf_dir, "documents"), max_hamming=3, hash_mode="md5"
+    )
 
 
 def _q_media_stats(spark, sf_dir):
@@ -630,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": _q_kg_canonical,
         "kg_khop_related": _q_kg_khop,
         "kg_graphrag_search": _q_kg_graphrag,
+        "kg_graphrag_entities": _q_kg_graphrag_entities,
         "kg_graph_stats": _q_kg_graph_stats,
         "kg_canonical_lsh": _q_kg_canonical_lsh,  # rows-only (xxhash64 LSH)
         # relational operators (SQL-checked)
@@ -654,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,  # same oracle as ivf
         "hybrid_fusion_topk": _q_hybrid_fusion,
+        "keyword_bm25_topk": _q_keyword_bm25,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_near_dup": _q_minhash_near_dup,  # md5 portable hash mode
         "near_dup_clusters": _q_near_dup_clusters,  # md5 + recursive CC oracle
@@ -1111,6 +1156,39 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'ok' END AS reason
               FROM scored)
             SELECT doc_id, (reason = 'ok') AS keep, reason FROM reasons
+        """,
+        "keyword_bm25_topk": """
+            -- SQL twin of kgspark.query.keyword_scores_bm25 over the
+            -- index built by build_inverted_index (same [a-z0-9]+
+            -- tokens): dl = sum(tf) per doc, Lucene idf, k1=1.2 b=0.75
+            WITH idx AS (
+              SELECT term, doc_id, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                             AS term
+                    FROM documents) t
+              GROUP BY term, doc_id),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM idx GROUP BY doc_id),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+            dfs AS (
+              SELECT term, count(*)::DOUBLE AS df
+              FROM idx WHERE term IN ('data', 'query', 'spark')
+              GROUP BY term),
+            parts AS (
+              SELECT i.doc_id,
+                     ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * i.tf * (1.2 + 1.0)
+                       / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))
+                       AS part
+              FROM idx i
+              JOIN dfs f USING (term)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN stats s)
+            SELECT doc_id, round(sum(part), 6) AS score
+            FROM parts GROUP BY doc_id
+            ORDER BY sum(part) DESC, doc_id
+            LIMIT 10
         """,
         "top_terms": """
             SELECT term, count(*) AS n

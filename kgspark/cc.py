@@ -26,6 +26,7 @@ def connected_components(
     sim_edges: DataFrame,
     max_iter: int = 25,
     stats: dict | None = None,
+    jump_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """names(name) + sim_edges(name_a, name_b) -> canonical(name, canonical_id).
 
@@ -34,7 +35,20 @@ def connected_components(
 
     When `stats` is passed, records {"rounds": n} — the number of
     propagate+jump rounds until convergence (the scale invariant the
-    pointer-jumping step buys: O(log diameter), not O(diameter)).
+    pointer-jumping step buys: O(log diameter), not O(diameter)) — and
+    {"jump_broadcast_rounds": m}, the rounds whose pointer jump ran as
+    a broadcast join (see below).
+
+    Giant-component skew: a naive pointer jump joins every node's
+    `comp` against the full label table — once a component collapses
+    toward its root, EVERY member probes that one hot key, so a
+    billion-row component concentrates on a single shuffle task. Here
+    the jump map is derived from the DISTINCT labels first (distinct
+    has map-side partial aggregation, so each input partition emits a
+    hot label once — the giant component collapses before the shuffle),
+    and when that map holds <= jump_broadcast_rows rows it is broadcast
+    — no shuffle keyed on the hot root at all. Above the threshold the
+    jump falls back to a shuffle join with AQE skew-split as backstop.
     """
     # undirected: propagate both ways
     edges = (
@@ -56,11 +70,13 @@ def connected_components(
     if edges.isEmpty():
         if stats is not None:
             stats["rounds"] = 0
+            stats["jump_broadcast_rounds"] = 0
         return labels.select("name", F.col("comp").alias("canonical_id"))
 
     edges = edges.localCheckpoint(eager=True)
 
     rounds = 0
+    jump_broadcast_rounds = 0
     for _ in range(max_iter):
         # (1) neighbor-min propagation
         neighbor_min = (
@@ -83,15 +99,34 @@ def connected_components(
         # (2) pointer jump (path compression): comp <- comp(comp).
         # Turns O(diameter) rounds into O(log diameter) — the reason a
         # billion-node similarity graph converges in ~a dozen rounds.
+        # The comp->comp(comp) map is built over DISTINCT labels (map-
+        # side combine collapses giant components' hot label before the
+        # shuffle) and broadcast when it fits, so no stage joins the
+        # full node table on a skewed key.
+        stepped = stepped.localCheckpoint(eager=True)
         parent = stepped.select(
             F.col("name").alias("__pname"), F.col("comp").alias("__pcomp")
         )
+        distinct_comps = stepped.select("comp").distinct()
+        jump_map = (
+            distinct_comps.join(
+                parent, distinct_comps["comp"] == parent["__pname"], "left"
+            )
+            .select(
+                "comp",
+                F.coalesce(F.col("__pcomp"), F.col("comp")).alias("__jcomp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if jump_map.count() <= jump_broadcast_rows:
+            jump_map = F.broadcast(jump_map)
+            jump_broadcast_rounds += 1
         new_labels = (
-            stepped.join(parent, stepped["comp"] == parent["__pname"], "left")
+            stepped.join(jump_map, "comp", "left")
             .select(
                 "name",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("__pcomp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("__jcomp"), F.col("comp"))
                 ).alias("comp"),
                 "old_comp",
             )
@@ -105,4 +140,5 @@ def connected_components(
 
     if stats is not None:
         stats["rounds"] = rounds
+        stats["jump_broadcast_rounds"] = jump_broadcast_rounds
     return labels.select("name", F.col("comp").alias("canonical_id"))

@@ -263,10 +263,59 @@ def near_dup_clusters(
 # SimHash near-dup (Arrow-batched pandas UDF for the bit packing)
 # ---------------------------------------------------------------------------
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens. The per-token hashing +
-    bit-vote accumulation is numpy inside a pandas UDF (Arrow batches;
-    no per-row Python boundary crossings)."""
+def _simhash_jvm(documents: DataFrame) -> DataFrame:
+    """Fully-JVM 64-bit SimHash: explode word tokens -> xxhash64 per
+    token -> 64 bit-vote sums in ONE hash aggregate (map-side partial
+    agg collapses hot docs' tokens locally) -> sign-bit signature. No
+    Python anywhere — the production mode; the md5 pandas path stays
+    for bit-exact cross-engine oracle checks.
+
+    Zero-token docs get all-ones signatures (votes coalesce to 0 and
+    0 >= 0 sets every bit), identical to the md5-mode convention."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.coalesce(F.col(f"v{j}"), F.lit(0)) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return (
+        documents.select("doc_id")
+        .join(votes, "doc_id", "left")
+        .select("doc_id", sig.alias("simhash"))
+    )
+
+
+def simhash(
+    documents: DataFrame, bits: int = 64, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash over word tokens. hash_mode="xxhash64" (default)
+    is the production path: token hash + bit votes entirely JVM-side.
+    hash_mode="md5" hashes per token with md5 inside an Arrow-batched
+    pandas UDF — slower, but bit-identical to a DuckDB SQL oracle
+    (('0x'||substr(md5,1,16))::UBIGINT), which is what the driver's
+    correctness gate checks."""
+    if hash_mode == "xxhash64":
+        if bits != 64:
+            raise ValueError("JVM simhash supports bits=64 only")
+        return _simhash_jvm(documents)
     import numpy as np  # noqa: PLC0415
 
     @F.pandas_udf("long")
@@ -292,11 +341,14 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
-def simhash_near_dup(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup(
+    documents: DataFrame, max_hamming: int = 3, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """SimHash blocking: split the 64-bit signature into max_hamming+1
     16-bit bands — any pair within the Hamming radius shares at least
-    one exact band (pigeonhole). Band-bucket join + exact popcount check."""
-    sh = simhash(documents).localCheckpoint(eager=True)
+    one exact band (pigeonhole). Band-bucket join + exact popcount check.
+    hash_mode picks the signature kernel (see simhash)."""
+    sh = simhash(documents, hash_mode=hash_mode).localCheckpoint(eager=True)
     n_bands = max_hamming + 1
     band_width = 64 // n_bands
     banded = sh.select(
@@ -356,10 +408,75 @@ def brute_force_ann(
     )
 
 
-def ivf_assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """IVF cell assignment: argmax cosine over a broadcast literal
-    centroid array — the scale path for ANN (search only the probed
-    cells instead of the full table)."""
+# Above this many plane/centroid literals (n_vectors * dim), the
+# literal-codegen vector math is replaced by a broadcast-numpy pandas
+# UDF: one Catalyst expression per centroid over literal arrays means
+# nlist*dim literals in ONE expression tree — at production scale (the
+# reference embeds at dim 3072, embeddings.py:20; nlist >= 1024) that
+# blows the JVM's 64 KB codegen method limit (interpreted fallback) or
+# OOMs the driver building the plan. The literal path stays the default
+# below the threshold because it is fully JVM-side AND expressible as
+# DuckDB oracle SQL (the correctness anchor).
+LITERAL_MATH_MAX_TERMS = 8192
+
+
+def _unit_rows(mat):
+    """Row-normalize a (n, d) float matrix; zero-norm rows divide by 1
+    (same guard as cosine_score / pair_cosine: zero vectors score 0)."""
+    import numpy as np  # noqa: PLC0415
+
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
+def _ivf_assign_vectorized(
+    embeddings: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Argmax-cosine cell assignment as ONE BLAS matmul per Arrow batch
+    over a broadcast centroid matrix — the production-dim path. Same
+    semantics as the literal path: full cosine (both sides normalized,
+    zero-norm guarded to 0) with first-max-wins tie-break (np.argmax)."""
+    import numpy as np  # noqa: PLC0415
+
+    cmat = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    bc = embeddings.sparkSession.sparkContext.broadcast(cmat)
+
+    @F.pandas_udf("int")
+    def assign_udf(embs: pd.Series) -> pd.Series:
+        c = bc.value
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        cells = np.argmax(_unit_rows(e) @ c.T, axis=1)
+        return pd.Series(cells, dtype="int32")
+
+    return embeddings.select(
+        "vec_id", "embedding", assign_udf(F.col("embedding")).alias("cell")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """IVF cell assignment: argmax cosine per vector — the scale path
+    for ANN (search only the probed cells instead of the full table).
+
+    Two physical strategies, same semantics:
+      * literal codegen (default below LITERAL_MATH_MAX_TERMS literals):
+        one JVM cosine expression per centroid — whole-stage codegen,
+        no Python, DuckDB-oracle-expressible;
+      * broadcast-numpy pandas UDF (default above the threshold): one
+        matmul per Arrow batch — the only plan that survives production
+        dims (dim 3072 x nlist 1024 = 3M literals cannot codegen).
+    `vectorized` forces a path explicitly (tests assert both agree)."""
+    if vectorized is None:
+        dim = len(centroids[0]) if centroids else 0
+        vectorized = len(centroids) * dim > LITERAL_MATH_MAX_TERMS
+    if vectorized:
+        return _ivf_assign_vectorized(embeddings, centroids)
     from .query import cosine_score  # noqa: PLC0415
 
     scores = F.array(
@@ -377,6 +494,7 @@ def ivf_ann(
     query_vec: list[float],
     k: int = 10,
     n_probe: int = 2,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: score centroids against the query on the
     driver (tiny), then exact cosine only inside the n_probe nearest
@@ -391,7 +509,7 @@ def ivf_ann(
     probe = sorted(
         range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
     )[:n_probe]
-    assigned = ivf_assign(embeddings, centroids)
+    assigned = ivf_assign(embeddings, centroids, vectorized=vectorized)
     from .query import cosine_score  # noqa: PLC0415
 
     return (
@@ -410,6 +528,7 @@ def ivf_build(
     centroids: list[list[float]],
     table: str = "ivf_index",
     input_key: str | None = None,
+    vectorized: bool | None = None,
 ) -> str:
     """Materialize the IVF assignment as a build artifact: the cell
     column becomes the parquet PARTITION key, so a probe query's
@@ -426,7 +545,7 @@ def ivf_build(
         existing = io.find_snapshot(table, input_key)
         if existing is not None:
             return existing
-    assigned = ivf_assign(embeddings, centroids)
+    assigned = ivf_assign(embeddings, centroids, vectorized=vectorized)
     return io.commit(
         table,
         assigned,
@@ -527,6 +646,69 @@ def _random_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _lsh_band_keys_vectorized(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str,
+) -> DataFrame:
+    """(doc, embedding, band, key) rows via one sign-bit matmul per
+    Arrow batch over a broadcast plane matrix — the production-dim path
+    for random-hyperplane LSH (literal planes cannot codegen at the
+    reference's dim 3072). Same bit/key semantics as the literal path:
+    bit = (embedding . plane) >= 0, key = sum(bit[b*width+r] << r)."""
+    import numpy as np  # noqa: PLC0415
+
+    n_planes = len(planes)
+    width = n_planes // bands
+    pmat = np.asarray(planes, dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(pmat)
+
+    @F.pandas_udf("array<long>")
+    def keys_udf(embs: pd.Series) -> pd.Series:
+        p = bc.value
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        bits = (e @ p.T) >= 0.0  # (n, n_planes)
+        keys = np.zeros((len(embs), bands), dtype=np.int64)
+        for b in range(bands):
+            for r in range(width):
+                keys[:, b] |= bits[:, b * width + r].astype(np.int64) << r
+        return pd.Series(list(keys))
+
+    # ids only: the bucket join below shuffles (doc, band, key), never
+    # the embedding payload — at scale that is 8x-the-ids instead of
+    # 8x-the-corpus through the exchange
+    return embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(keys_udf(F.col("embedding"))).alias("band", "key"),
+    )
+
+
+def _pair_cosine_vectorized():
+    """cosine(a, b) over two array columns as one numpy batch op —
+    the verification kernel for production dims (the JVM zip_with/
+    aggregate lambda walk is O(dim) interpreted steps per pair)."""
+    import numpy as np  # noqa: PLC0415
+
+    @F.pandas_udf("double")
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ea = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        eb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", ea, eb)
+        na = np.linalg.norm(ea, axis=1)
+        nb = np.linalg.norm(eb, axis=1)
+        ok = (na > 0) & (nb > 0)  # zero-norm pairs score 0, same as pair_cosine
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.where(ok, dots / (na * nb), 0.0))
+
+    return cos_udf
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -535,11 +717,17 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     dim: int | None = None,
     id_col: str = "vec_id",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH blocking for embedding near-dup: sign-bit
     signature over seeded Gaussian planes, banded bucket join (pairs
     only meet inside a shared band bucket — never O(n^2)), then exact
-    cosine verification. Deterministic given the seed."""
+    cosine verification. Deterministic given the seed.
+
+    The signature is literal-codegen'd below LITERAL_MATH_MAX_TERMS
+    plane literals (JVM-side, oracle-expressible) and a broadcast-numpy
+    matmul per Arrow batch above it (the only plan that survives
+    production dims); `vectorized` forces a path."""
     if dim is None:
         row = embeddings.select(F.size("embedding")).first()
         if row is None:  # empty input: no pairs, well-typed result
@@ -549,29 +737,68 @@ def embedding_near_dup_lsh(
         dim = row[0]
     planes = _random_planes(n_planes, dim, seed)
     width = n_planes // bands
+    if vectorized is None:
+        vectorized = n_planes * dim > LITERAL_MATH_MAX_TERMS
 
-    def dot_lit(vec: list[float]):
-        lit = F.array(*[F.lit(float(v)) for v in vec])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x,
+    if vectorized:
+        # bucket join over ids only (no embedding payload in the
+        # shuffle), distinct pairs FIRST (a pair colliding in several
+        # bands is verified once, not per band), then one numpy-batch
+        # cosine per pair
+        banded = _lsh_band_keys_vectorized(embeddings, planes, bands, id_col)
+        right = banded.select(
+            F.col("band").alias("band2"), F.col("key").alias("key2"),
+            F.col("doc").alias("vec_b"),
         )
+        pair_ids = (
+            banded.join(
+                right,
+                (banded["band"] == right["band2"])
+                & (banded["key"] == right["key2"])
+                & (banded["doc"] < right["vec_b"]),
+            )
+            .select(F.col("doc").alias("vec_a"), "vec_b")
+            .distinct()
+        )
+        ea = embeddings.select(
+            F.col(id_col).alias("vec_a"), F.col("embedding").alias("emb_a")
+        )
+        eb = embeddings.select(
+            F.col(id_col).alias("vec_b"), F.col("embedding").alias("emb_b")
+        )
+        cos_udf = _pair_cosine_vectorized()
+        cands = (
+            pair_ids.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .select(
+                "vec_a", "vec_b",
+                cos_udf(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+            )
+        )
+        return cands.filter(F.col("cosine") >= threshold)
+    else:
+        def dot_lit(vec: list[float]):
+            lit = F.array(*[F.lit(float(v)) for v in vec])
+            return F.aggregate(
+                F.zip_with(F.col("embedding"), lit, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
 
-    bits = [F.when(dot_lit(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
-    band_keys = [
-        sum(
-            (bits[b * width + r] * F.lit(1 << r) for r in range(width)),
-            start=F.lit(0),
-        )
-        for b in range(bands)
-    ]
-    banded = embeddings.select(
-        F.col(id_col).alias("doc"), "embedding",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
+        bits = [F.when(dot_lit(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
+        band_keys = [
+            sum(
+                (bits[b * width + r] * F.lit(1 << r) for r in range(width)),
+                start=F.lit(0),
+            )
             for b in range(bands)
-        ])).alias("bk"),
-    ).select("doc", "embedding", "bk.band", "bk.key")
+        ]
+        banded = embeddings.select(
+            F.col(id_col).alias("doc"), "embedding",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
+                for b in range(bands)
+            ])).alias("bk"),
+        ).select("doc", "embedding", "bk.band", "bk.key")
 
     right = banded.select(
         F.col("band").alias("band2"), F.col("key").alias("key2"),

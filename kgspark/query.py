@@ -145,40 +145,68 @@ def keyword_scores(
     )
 
 
+def keyword_scores_bm25(
+    index: DataFrame,
+    query: str,
+    k: int = TOP_K,
+    id_col: str = "chunk_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance over the materialized inverted index — the
+    engine's analog of the reference's ES `multi_match best_fields`
+    relevance model (elasticsearch_store.py:145-153), which is
+    df/length-normalized, unlike the raw tf sum of keyword_scores
+    (kept as the default for reference score-parity; BM25 is opt-in
+    via graphrag_search(keyword_model="bm25")).
+
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))     (Lucene/ES)
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Everything derives from the (term, chunk_id, tf) index itself:
+    dl = sum(tf) per chunk, N/avgdl one single-row aggregate. The only
+    full-index pass is the dl aggregation — at scale, materialize dl
+    alongside the index at ingest (same TableIO pattern as O18) and
+    pass it here; the per-query work is then index rows for the query's
+    terms only (term-pushdown scan) + one broadcast of the tiny stats."""
+    terms = query_terms(query)
+    if not terms:
+        return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    matched = index.filter(F.col("term").isin(terms))
+    dfs = matched.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    part = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        matched.join(F.broadcast(dfs), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(part).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _py_char_grams(term: str, q: int) -> list[str]:
     return sorted({term[i : i + q] for i in range(max(len(term) - q + 1, 1))})
 
 
-def fuzzy_term_weights(
-    index: DataFrame,
-    terms: list[str],
-    max_edit: int = 1,
-    fuzzy_weight: float = 0.5,
-) -> DataFrame:
-    """Expand query terms to index-vocabulary terms within levenshtein
-    <= max_edit — the engine's analog of the reference's ES
-    `fuzziness: "AUTO"` (elasticsearch_store.py:147-151). Returns
-    (term, weight): exact query terms weigh 1.0, fuzzy variants
-    `fuzzy_weight`; a term reached both ways keeps the max.
-
-    Scale shape: candidates come from a char-gram block — the distinct
-    vocab is char-q-grammed once (q=3, or q=2 for short query terms,
-    mirroring ES AUTO's shorter-terms-fewer-edits ladder) and joined
-    against the handful of broadcast query grams, so the only full pass
-    is one narrow scan over the vocabulary; levenshtein runs only on
-    blocked candidates. Gram blocking is exhaustive for terms of length
-    > 2q-1 and best-effort below (documented recall edge, same class of
-    limit as ES AUTO's 0-edit rule for <=2-char terms)."""
-    spark = index.sparkSession
-    qsizes = sorted({2 if len(t) <= 5 else 3 for t in terms})
-    qgrams = [
-        (t, g, q) for t in terms for q in [2 if len(t) <= 5 else 3]
-        for g in _py_char_grams(t, q)
-    ]
-    qg = F.broadcast(
-        spark.createDataFrame(qgrams, "qterm string, gram string, q int")
-    )
-    vocab = index.select("term").distinct()
+def _vocab_gram_frame(vocab: DataFrame, qsizes: list[int]) -> DataFrame:
+    """(term, gram, q) rows for the distinct vocabulary at the given
+    char-gram sizes — the blocking table for fuzzy expansion."""
     t = F.col("term")
 
     def _substr_gram(q: int):
@@ -187,7 +215,7 @@ def fuzzy_term_weights(
         # index) binary form
         return lambda i: t.substr(i, F.lit(q))
 
-    vg_parts = [
+    parts = [
         vocab.select(
             "term",
             F.explode(
@@ -204,9 +232,77 @@ def fuzzy_term_weights(
         )
         for q in qsizes
     ]
-    vg = vg_parts[0]
-    for part in vg_parts[1:]:
+    vg = parts[0]
+    for part in parts[1:]:
         vg = vg.unionByName(part)
+    return vg
+
+
+def build_vocab_grams(
+    io,
+    index: DataFrame,
+    table: str = "vocab_grams",
+    input_key: str | None = None,
+    qsizes: tuple[int, ...] = (2, 3),
+) -> str:
+    """Materialize the vocabulary char-gram blocking table ONCE at
+    ingest — the scale fix for fuzzy search: without it,
+    fuzzy_term_weights re-derives `index.select("term").distinct()` +
+    gram explode on EVERY query, a full vocabulary shuffle per typo'd
+    query (ruinous at a 10^8-term vocabulary). Same TableIO build-
+    artifact pattern as the inverted index (O18) and the IVF index:
+    keyed on the index snapshot via `input_key`, resumed instead of
+    rebuilt when already committed. Rows: (term, gram, q) for q in
+    qsizes (2 and 3 cover the ES-AUTO-style short/long term ladder)."""
+    if input_key is not None:
+        existing = io.find_snapshot(table, input_key)
+        if existing is not None:
+            return existing
+    vg = _vocab_gram_frame(index.select("term").distinct(), list(qsizes))
+    return io.commit(
+        table, vg, input_snapshot=input_key,
+        metadata={"qsizes": list(qsizes)},
+    )
+
+
+def fuzzy_term_weights(
+    index: DataFrame,
+    terms: list[str],
+    max_edit: int = 1,
+    fuzzy_weight: float = 0.5,
+    vocab_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Expand query terms to index-vocabulary terms within levenshtein
+    <= max_edit — the engine's analog of the reference's ES
+    `fuzziness: "AUTO"` (elasticsearch_store.py:147-151). Returns
+    (term, weight): exact query terms weigh 1.0, fuzzy variants
+    `fuzzy_weight`; a term reached both ways keeps the max.
+
+    Scale shape: candidates come from a char-gram block — the distinct
+    vocab is char-q-grammed once (q=3, or q=2 for short query terms,
+    mirroring ES AUTO's shorter-terms-fewer-edits ladder) and joined
+    against the handful of broadcast query grams, so the only full pass
+    is one narrow scan over the vocabulary; levenshtein runs only on
+    blocked candidates. Gram blocking is exhaustive for terms of length
+    > 2q-1 and best-effort below (documented recall edge, same class of
+    limit as ES AUTO's 0-edit rule for <=2-char terms).
+
+    Pass `vocab_grams` (the table build_vocab_grams materialized at
+    ingest) to skip even that one vocabulary pass — the per-query work
+    is then a broadcast join against the handful of query grams only."""
+    spark = index.sparkSession
+    qsizes = sorted({2 if len(t) <= 5 else 3 for t in terms})
+    qgrams = [
+        (t, g, q) for t in terms for q in [2 if len(t) <= 5 else 3]
+        for g in _py_char_grams(t, q)
+    ]
+    qg = F.broadcast(
+        spark.createDataFrame(qgrams, "qterm string, gram string, q int")
+    )
+    if vocab_grams is not None:
+        vg = vocab_grams
+    else:
+        vg = _vocab_gram_frame(index.select("term").distinct(), qsizes)
     fuzzy = (
         vg.join(qg, ["gram", "q"])
         .filter(
@@ -236,17 +332,20 @@ def keyword_scores_fuzzy(
     id_col: str = "chunk_id",
     max_edit: int = 1,
     fuzzy_weight: float = 0.5,
+    vocab_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Keyword top-k with typo tolerance: expand the query's terms over
     the index vocabulary (fuzzy_term_weights), then weighted tf sum —
     score = sum(tf * weight) per chunk. The expanded term set is tiny,
     so the scoring join is a broadcast against the index, exactly like
-    the exact path."""
+    the exact path. `vocab_grams`: see build_vocab_grams."""
     terms = query_terms(query)
     if not terms:
         return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     weights = F.broadcast(
-        fuzzy_term_weights(index, terms, max_edit, fuzzy_weight)
+        fuzzy_term_weights(
+            index, terms, max_edit, fuzzy_weight, vocab_grams=vocab_grams
+        )
     )
     return (
         index.join(weights, "term")
@@ -302,15 +401,45 @@ def fuse(
     )
 
 
+def _props_str(pcol):
+    """Entity properties map as a deterministic scalar string
+    'k=v; k2=v2' over sorted keys, excluding 'name' and '__'-prefixed
+    keys — the same filtering the reference applies when formatting
+    entity properties into the context prompt (graphrag.py:181-190).
+    Scalar (not map) so driver-contract outputs stay canonicalizable."""
+    keys = F.filter(
+        F.array_sort(F.map_keys(pcol)),
+        lambda k: (k != F.lit("name")) & ~k.startswith("__"),
+    )
+    return F.when(pcol.isNull(), F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                keys, lambda k: F.concat_ws("=", k, F.element_at(pcol, k))
+            ),
+            "; ",
+        )
+    )
+
+
 def entities_from_chunks(
     mentions: DataFrame,
     chunk_ids: list[str],
     max_depth: int = MAX_DEPTH,
     limit: int = 100,
+    kg_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Reference O23 (neo4j_store.py:261-345): entities reachable from
     the hit chunks over the bipartite chunk-[:CONTAINS_ENTITY]-entity
     graph within max_depth hops, DISTINCT, LIMIT 100.
+
+    The reference RETURNs the full entity node plus labels(e) and the
+    path's relationship types (`RETURN DISTINCT e, labels(e), [r IN
+    relationships(path) | type(r)]`, neo4j_store.py:331-345). With
+    `kg_nodes` given this emits the same surface as scalar columns:
+    labels ', '-joined, properties via _props_str, rel_types =
+    'CONTAINS_ENTITY' repeated hops times (the only type on the
+    bipartite pattern), plus hops (first-reach BFS depth). Without
+    kg_nodes: (name, rel_types, hops).
 
     Faithful quirk: the var-length pattern ends at an entity, so only
     odd hop counts can match — with the default max_depth=2 the result
@@ -322,15 +451,44 @@ def entities_from_chunks(
         spark.createDataFrame([(c,) for c in chunk_ids], "chunk_id string")
     )
     ment = mentions.select("chunk_id", "name")
-    entities = ment.join(frontier_chunks, "chunk_id").select("name").distinct()
+    entities = (
+        ment.join(frontier_chunks, "chunk_id").select("name").distinct()
+        .withColumn("hops", F.lit(1))
+    )
     depth = 1
     while depth + 2 <= max_depth:  # entity->chunk->entity = +2 hops
-        chunks_of = ment.join(entities, "name").select("chunk_id").distinct()
-        entities = (
-            ment.join(chunks_of, "chunk_id").select("name").distinct()
+        chunks_of = (
+            ment.join(entities.select("name"), "name")
+            .select("chunk_id").distinct()
         )
+        nxt = (
+            ment.join(chunks_of, "chunk_id").select("name").distinct()
+            .join(entities.select("name"), "name", "left_anti")
+            .withColumn("hops", F.lit(depth + 2))
+        )
+        entities = entities.unionByName(nxt)
         depth += 2
-    return entities.orderBy("name").limit(limit)
+    out = entities.withColumn(
+        "rel_types",
+        F.array_join(
+            F.array_repeat(F.lit("CONTAINS_ENTITY"), F.col("hops")), ","
+        ),
+    )
+    if kg_nodes is not None:
+        meta = kg_nodes.select(
+            F.col("canonical_id").alias("name"),
+            F.array_join("labels", ", ").alias("labels"),
+            _props_str(F.col("properties")).alias("properties"),
+        )
+        out = out.join(meta, "name", "left").select(
+            "name",
+            F.coalesce("labels", F.lit("")).alias("labels"),
+            F.coalesce("properties", F.lit("")).alias("properties"),
+            "rel_types", "hops",
+        )
+    else:
+        out = out.select("name", "rel_types", "hops")
+    return out.orderBy("name").limit(limit)
 
 
 def related_entities(
@@ -338,12 +496,30 @@ def related_entities(
     entity_name: str,
     max_depth: int = MAX_DEPTH,
     limit: int = 50,
+    kg_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Reference get_related_entities (neo4j_store.py:372-407): entities
-    within max_depth undirected hops over ANY relationship type, LIMIT 50."""
+    within max_depth undirected hops over ANY relationship type, LIMIT
+    50, returning the full entity row + the path's relationship types
+    (`RETURN DISTINCT e2, labels(e2), [r IN relationships(path) |
+    type(r)]`).
+
+    rel_types here is the ','-joined predicate sequence of ONE
+    deterministic path per entity: BFS-shortest, ties broken by the
+    lexicographically smallest predicate sequence (engine-defined: the
+    reference may emit several rows for one entity when distinct
+    rel-type paths exist; one canonical row per entity is the
+    deterministic-under-parallelism choice). With `kg_nodes` given the
+    output adds labels / properties scalars like entities_from_chunks."""
     undirected = (
-        kg_edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
-        .union(kg_edges.select(F.col("obj").alias("a"), F.col("subj").alias("b")))
+        kg_edges.select(
+            F.col("subj").alias("a"), F.col("obj").alias("b"), "pred"
+        )
+        .union(
+            kg_edges.select(
+                F.col("obj").alias("a"), F.col("subj").alias("b"), "pred"
+            )
+        )
         .distinct()
         # materialize once: every hop joins against this frame, and
         # without the checkpoint each round re-runs the union+distinct
@@ -351,25 +527,46 @@ def related_entities(
         .localCheckpoint(eager=True)
     )
     spark = kg_edges.sparkSession
-    frontier = spark.createDataFrame([(entity_name,)], "a string")
-    seen = frontier
+    frontier = spark.createDataFrame([(entity_name,)], "a string").withColumn(
+        "path", F.array().cast("array<string>")
+    )
+    seen = frontier.select("a")
+    reached: DataFrame | None = None
     for _ in range(max_depth):
+        stepped = undirected.join(F.broadcast(frontier), "a").select(
+            F.col("b").alias("a"),
+            F.concat(F.col("path"), F.array(F.col("pred"))).alias("path"),
+        )
         nxt = (
-            undirected.join(F.broadcast(frontier), "a")
-            .select(F.col("b").alias("a"))
-            .distinct()
+            stepped.groupBy("a")
+            .agg(F.min("path").alias("path"))  # lexicographic tie-break
             .join(seen, "a", "left_anti")
         ).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        seen = seen.union(nxt)
+        seen = seen.union(nxt.select("a"))
+        reached = nxt if reached is None else reached.unionByName(nxt)
         frontier = nxt
-    return (
-        seen.filter(F.col("a") != entity_name)
-        .select(F.col("a").alias("name"))
-        .orderBy("name")
-        .limit(limit)
+    if reached is None:
+        reached = spark.createDataFrame([], "a string, path array<string>")
+    out = reached.select(
+        F.col("a").alias("name"),
+        F.array_join("path", ",").alias("rel_types"),
+        F.size("path").alias("hops"),
     )
+    if kg_nodes is not None:
+        meta = kg_nodes.select(
+            F.col("canonical_id").alias("name"),
+            F.array_join("labels", ", ").alias("labels"),
+            _props_str(F.col("properties")).alias("properties"),
+        )
+        out = out.join(meta, "name", "left").select(
+            "name",
+            F.coalesce("labels", F.lit("")).alias("labels"),
+            F.coalesce("properties", F.lit("")).alias("properties"),
+            "rel_types", "hops",
+        )
+    return out.orderBy("name").limit(limit)
 
 
 def graphrag_search(
@@ -382,6 +579,8 @@ def graphrag_search(
     embed_dim: int = 64,
     inverted_index: DataFrame | None = None,
     fuzziness: int = 0,
+    keyword_model: str = "tf",
+    kg_nodes: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end GraphRAG retrieval analog, no LLM (reference
     graphrag.search, src/builders/graphrag.py:58-98):
@@ -401,7 +600,11 @@ def graphrag_search(
 
     qvec = embed_text(query_text, embed_dim)
     vec_hits = vector_topk(embeddings, qvec, k=top_k * 2)
-    if inverted_index is not None and fuzziness > 0:
+    if inverted_index is not None and keyword_model == "bm25":
+        # opt-in (default "tf" preserves reference score parity):
+        # df/length-normalized relevance like ES best_fields
+        kw_hits = keyword_scores_bm25(inverted_index, query_text, k=top_k * 2)
+    elif inverted_index is not None and fuzziness > 0:
         kw_hits = keyword_scores_fuzzy(
             inverted_index, query_text, k=top_k * 2, max_edit=fuzziness
         )
@@ -411,7 +614,9 @@ def graphrag_search(
         kw_hits = keyword_scores(chunks, query_text, k=top_k * 2)
     hits = fuse(vec_hits, kw_hits, k=top_k)
     hit_ids = [r["chunk_id"] for r in hits.select("chunk_id").collect()]
-    entities = entities_from_chunks(mentions, hit_ids, max_depth=max_depth)
+    entities = entities_from_chunks(
+        mentions, hit_ids, max_depth=max_depth, kg_nodes=kg_nodes
+    )
     return {"hits": hits, "entities": entities}
 
 
@@ -426,6 +631,8 @@ def graphrag_search_cached(
     embed_dim: int = 64,
     inverted_index: DataFrame | None = None,
     fuzziness: int = 0,
+    keyword_model: str = "tf",
+    kg_nodes: DataFrame | None = None,
     ttl_seconds: float = 3600.0,
     corpus_id: str | None = None,
 ) -> dict:
@@ -460,6 +667,7 @@ def graphrag_search_cached(
                 "max_depth": max_depth,
                 "embed_dim": embed_dim,
                 "fuzziness": fuzziness,
+                "keyword_model": keyword_model,
                 "corpus": corpus_id,
             },
             sort_keys=True,
@@ -480,6 +688,7 @@ def graphrag_search_cached(
         chunks, embeddings, mentions, query_text,
         top_k=top_k, max_depth=max_depth, embed_dim=embed_dim,
         inverted_index=inverted_index, fuzziness=fuzziness,
+        keyword_model=keyword_model, kg_nodes=kg_nodes,
     )
     hs = io.commit(
         "_qcache_hits", out["hits"], input_snapshot=key, metadata={"ts": now}
@@ -501,9 +710,12 @@ def build_context(
     chunks: DataFrame,
     max_entities: int = 10,
 ) -> str:
-    """Context assembly (reference O24, graphrag.py:170-194): format
-    the top chunks and up to max_entities entity names into one prompt
-    string. Driver-side by design — the inputs are already top-k-sized
+    """Context assembly (reference O24, graphrag.py:170-194), matching
+    the reference's prompt shape: '=== Relevant Text Chunks ===' with
+    per-chunk scores, then '=== Related Entities ===' with each entity
+    as 'name (labels): properties' — labels ', '-joined and properties
+    filtered of 'name'/'__'-prefixed keys, exactly as _build_context
+    does. Driver-side by design — the inputs are already top-k-sized
     (≤ a few rows), so a collect here is O(k), not O(corpus)."""
     hit_rows = (
         hits.join(chunks.select("chunk_id", "text"), "chunk_id")
@@ -512,12 +724,18 @@ def build_context(
         .collect()
     )
     ent_rows = entities.limit(max_entities).collect()
-    parts = ["Relevant text passages:"]
+    parts = ["=== Relevant Text Chunks ==="]
     for i, r in enumerate(hit_rows, 1):
-        parts.append(f"[{i}] (score={r['combined_score']:.4f}) {r['text']}")
+        parts.append(f"\nChunk {i} (score: {r['combined_score']:.3f}):")
+        parts.append(r["text"])
     if ent_rows:
-        parts.append("Related entities:")
-        parts.extend(f"- {r['name']}" for r in ent_rows)
+        parts.append("\n\n=== Related Entities ===")
+        for e in ent_rows:
+            d = e.asDict()
+            info = f"\n{d['name']} ({d.get('labels') or ''}):"
+            if d.get("properties"):
+                info += f" {d['properties']}"
+            parts.append(info)
     return "\n".join(parts)
 
 

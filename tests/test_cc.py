@@ -53,6 +53,49 @@ def test_long_chain_converges(spark, n):
     assert set(got.values()) == {"n000"}
 
 
+def test_1m_nodes_giant_component_skew_safe(spark):
+    """10^6 nodes with ONE component holding 50% of them — the worst
+    case for the pointer jump: every member's comp collapses onto one
+    hot root key, so a naive label-table join would concentrate the
+    giant component on a single shuffle task. The fix under test
+    (docs/SCALE.md 'Giant-component skew'): the jump map derives from
+    DISTINCT labels (map-side combine collapses the hot label before
+    the shuffle) and is broadcast when it fits — stats must show the
+    broadcast path engaged, convergence in bounded rounds, and the
+    exact component membership."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    half = n // 2
+    names = spark.range(n).select(
+        F.format_string("n%07d", F.col("id")).alias("name")
+    )
+    # ids [0, half): each non-leader links to its 1000-block leader;
+    # each block leader links to n0000000 -> one 500k-member component
+    members = spark.range(half).filter((F.col("id") % 1000) != 0).select(
+        F.format_string("n%07d", F.col("id")).alias("name_a"),
+        F.format_string(
+            "n%07d", F.col("id") - (F.col("id") % 1000)
+        ).alias("name_b"),
+    )
+    leaders = spark.range(1, half // 1000).select(
+        F.format_string("n%07d", F.col("id") * 1000).alias("name_a"),
+        F.lit("n0000000").alias("name_b"),
+    )
+    stats: dict = {}
+    comp = connected_components(
+        names, members.unionByName(leaders), stats=stats
+    )
+    giant = comp.filter(F.col("canonical_id") == "n0000000").count()
+    assert giant == half
+    singletons = comp.filter(
+        F.col("canonical_id") == F.col("name")
+    ).count()
+    assert singletons == (n - half) + 1  # isolated tail + the root itself
+    assert stats["rounds"] <= 6, stats
+    assert stats["jump_broadcast_rounds"] >= 1, stats
+
+
 def test_100k_nodes_round_count_logarithmic(spark):
     """Cluster-shaped evidence for the docs/SCALE.md claim: 10^5 nodes
     with a diameter-1024 chain + 10k 8-node stars + isolated tail must

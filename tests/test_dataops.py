@@ -113,6 +113,31 @@ def test_simhash_deterministic(spark, docs):
     assert a == b
 
 
+def test_simhash_jvm_mode_agrees_with_md5_mode(spark, docs):
+    """The fully-JVM xxhash64 kernel and the oracle-checked md5 kernel
+    are different hash families, so raw signatures differ — but the
+    STRUCTURAL properties must coincide: exact duplicates collide at
+    hamming 0 in both modes, unrelated docs stay unpaired, and the
+    zero-token signature convention (all ones = -1) is shared."""
+    for mode in ("xxhash64", "md5"):
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in dataops.simhash(docs, hash_mode=mode).collect()}
+        assert sigs[0] == sigs[1], mode       # exact dup -> same signature
+        assert sigs[5] == -1, mode            # empty doc -> all-ones
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dataops.simhash_near_dup(
+                docs, max_hamming=3, hash_mode=mode
+            ).collect()
+        }
+        assert pairs[(0, 1)] == 0, mode
+        assert not any(3 in p for p in pairs), mode
+    # and the production plan is Python-free: no Arrow/Python eval nodes
+    plan = dataops.simhash(docs, hash_mode="xxhash64")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_ivf_ann_matches_brute_force_topk(spark):
     import random
 
@@ -163,6 +188,88 @@ def test_ivf_index_materialized_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_ivf_assign_vectorized_matches_literal(spark):
+    """The broadcast-numpy pandas-UDF path and the literal-codegen path
+    are two physical strategies for the SAME operator: at dim 64 /
+    nlist 8 (under the auto-select threshold) forcing each path must
+    give bit-identical cell assignments AND bit-identical ANN top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    lit = {r["vec_id"]: r["cell"]
+           for r in dataops.ivf_assign(emb, cents, vectorized=False).collect()}
+    vec = {r["vec_id"]: r["cell"]
+           for r in dataops.ivf_assign(emb, cents, vectorized=True).collect()}
+    assert lit == vec and len(lit) > 0
+
+    q = cents[0]
+    topk_lit = [(r["vec_id"], r["score"]) for r in
+                dataops.ivf_ann(emb, cents, q, 10, 3, vectorized=False).collect()]
+    topk_vec = [(r["vec_id"], r["score"]) for r in
+                dataops.ivf_ann(emb, cents, q, 10, 3, vectorized=True).collect()]
+    assert topk_lit == topk_vec
+
+    # plan check: the vectorized path runs Arrow-batched Python, the
+    # literal path stays whole-stage-codegen JVM
+    vplan = dataops.ivf_assign(emb, cents, vectorized=True)._jdf.queryExecution(
+    ).executedPlan().toString()
+    lplan = dataops.ivf_assign(emb, cents, vectorized=False)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ArrowEvalPython" in vplan
+    assert "ArrowEvalPython" not in lplan
+
+
+def test_lsh_vectorized_matches_literal(spark):
+    """Same parity contract for the random-hyperplane signature: both
+    paths must produce the same verified near-dup pairs at dim 64."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = {(r["vec_a"], r["vec_b"]): round(r["cosine"], 9)
+           for r in dataops.embedding_near_dup_lsh(
+               emb, threshold=0.4, vectorized=False).collect()}
+    vec = {(r["vec_a"], r["vec_b"]): round(r["cosine"], 9)
+           for r in dataops.embedding_near_dup_lsh(
+               emb, threshold=0.4, vectorized=True).collect()}
+    assert lit == vec and len(lit) > 0
+
+
+def test_vector_math_highdim_green(spark):
+    """Production dims (dim 1024, nlist 256 — the regime where literal
+    codegen blows the JVM 64 KB method limit): the auto-select must
+    pick the vectorized path and the full IVF + LSH flows run green."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 1024
+    rows = [
+        (i, rng.standard_normal(dim).astype("float32").tolist())
+        for i in range(300)
+    ]
+    rows.append((300, rows[5][1]))  # exact duplicate of vec 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [rows[i][1] for i in range(256)]
+
+    # auto-select: 256 * 1024 literals >> threshold -> ArrowEvalPython
+    plan = dataops.ivf_assign(emb, cents)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+    q = rows[5][1]
+    got = dataops.ivf_ann(emb, cents, q, k=5, n_probe=8).collect()
+    assert len(got) == 5
+    # the duplicate pair (5, 300) lands in the same cell; self + dup top
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {5, 300}
+
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dataops.embedding_near_dup_lsh(
+            emb, threshold=0.99, n_planes=32, bands=8
+        ).collect()
+    }
+    assert (5, 300) in pairs  # identical vectors share every band
 
 
 def test_lang_id_predicts_markers(spark, docs):

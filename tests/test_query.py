@@ -66,6 +66,45 @@ def test_keyword_fuzzy_recovers_typos(spark):
     assert mixed == {"c0": pytest.approx(1.5)}
 
 
+def test_vocab_grams_materialized_resume_and_parity(spark, tmp_path, monkeypatch):
+    """The fuzzy blocking table is a build artifact, not per-query work:
+    (a) a second build for the same input key resumes the committed
+    snapshot with ZERO recompute (no new commit — the vocab is never
+    re-shuffled), and (b) querying through the materialized table gives
+    exactly the inline results."""
+    from kgspark.io import TableIO
+
+    chunks = spark.createDataFrame(
+        [("c0", "contract signed by court"), ("c1", "nothing here at all")],
+        "chunk_id string, text string",
+    )
+    idx = query.build_inverted_index(chunks)
+    io = TableIO(str(tmp_path / "wh"))
+    snap = query.build_vocab_grams(io, idx, input_key="idx:v1")
+
+    commits = []
+    orig_commit = TableIO.commit
+    monkeypatch.setattr(
+        TableIO, "commit",
+        lambda self, *a, **k: commits.append(1) or orig_commit(self, *a, **k),
+    )
+    assert query.build_vocab_grams(io, idx, input_key="idx:v1") == snap
+    assert commits == []  # resumed, not rebuilt
+
+    vg = io.read(spark, "vocab_grams", snap)
+    inline = sorted(
+        (r["chunk_id"], round(r["score"], 9))
+        for r in query.keyword_scores_fuzzy(idx, "court contrct", k=5).collect()
+    )
+    mat = sorted(
+        (r["chunk_id"], round(r["score"], 9))
+        for r in query.keyword_scores_fuzzy(
+            idx, "court contrct", k=5, vocab_grams=vg
+        ).collect()
+    )
+    assert inline == mat and len(mat) > 0
+
+
 def test_fusion_reference_semantics(spark):
     # graphrag.py:117-168: vector normalized (1+s)/2, keyword s/10,
     # combined = 0.7v + 0.3k; missing side contributes 0
@@ -109,6 +148,75 @@ def test_related_entities_bounded_bfs(spark):
     d2 = {r["name"] for r in query.related_entities(edges, "A", 2).collect()}
     assert d1 == {"B"}
     assert d2 == {"B", "C"}
+
+
+def test_traversal_returns_full_entity_rows(spark):
+    """Reference parity (neo4j_store.py:331-360): traversal returns the
+    full entity node + labels + path rel_types, not bare names — with
+    properties filtered of 'name'/'__'-prefixed keys exactly as the
+    reference's context formatter does (graphrag.py:181-190)."""
+    ments = spark.createDataFrame(
+        [("c1", "Acme Corp")], "chunk_id string, name string"
+    )
+    kg_nodes = spark.createDataFrame(
+        [("Acme Corp", "Acme Corp", ["Organization"],
+          {"name": "Acme Corp", "industry": "tech", "__chunk": "c1"})],
+        "canonical_id string, name string, labels array<string>, "
+        "properties map<string,string>",
+    )
+    r = query.entities_from_chunks(
+        ments, ["c1"], kg_nodes=kg_nodes
+    ).collect()[0]
+    assert r["name"] == "Acme Corp"
+    assert r["labels"] == "Organization"
+    assert r["properties"] == "industry=tech"  # name/__-keys filtered
+    assert r["rel_types"] == "CONTAINS_ENTITY"
+    assert r["hops"] == 1
+    # scalar-only contract for the driver canonicalizer
+    assert all(not isinstance(v, (list, dict)) for v in r.asDict().values())
+
+
+def test_related_entities_rel_types_path(spark):
+    """related_entities carries the predicate sequence of the BFS path
+    (reference: [r IN relationships(path) | type(r)])."""
+    edges = spark.createDataFrame(
+        [("A", "R", "B"), ("B", "S", "C")],
+        "subj string, pred string, obj string",
+    )
+    nodes = spark.createDataFrame(
+        [(n, n, ["Entity"], {"name": n}) for n in "ABC"],
+        "canonical_id string, name string, labels array<string>, "
+        "properties map<string,string>",
+    )
+    got = {r["name"]: r for r in query.related_entities(
+        edges, "A", 2, kg_nodes=nodes
+    ).collect()}
+    assert got["B"]["rel_types"] == "R" and got["B"]["hops"] == 1
+    assert got["C"]["rel_types"] == "R,S" and got["C"]["hops"] == 2
+    assert got["B"]["labels"] == "Entity"
+
+
+def test_build_context_reference_format(spark):
+    """build_context emits the reference's exact prompt shape
+    (graphrag.py:170-194): chunk sections with 3-decimal scores, then
+    entity lines 'name (labels): properties'."""
+    hits = spark.createDataFrame(
+        [("c1", 0.9123)], "chunk_id string, combined_score double"
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "Acme signed the contract.")], "chunk_id string, text string"
+    )
+    entities = spark.createDataFrame(
+        [("Acme Corp", "Organization", "industry=tech", "CONTAINS_ENTITY", 1)],
+        "name string, labels string, properties string, rel_types string, "
+        "hops int",
+    )
+    ctx = query.build_context(hits, entities, chunks)
+    assert ctx.startswith("=== Relevant Text Chunks ===")
+    assert "\nChunk 1 (score: 0.912):" in ctx
+    assert "Acme signed the contract." in ctx
+    assert "=== Related Entities ===" in ctx
+    assert "\nAcme Corp (Organization): industry=tech" in ctx
 
 
 def test_top_connected_entities(spark):
@@ -168,6 +276,27 @@ def test_graphrag_query_cache_skips_recompute(spark, tmp_path, monkeypatch):
         query.graphrag_search_cached(io, *args, top_k=3, corpus_id="rebuilt-v2")
 
 
+def test_bm25_rare_term_outranks_stopword_heavy(spark):
+    """BM25 vs raw tf-sum: a doc matching a RARE query term must
+    outrank docs stuffed with a corpus-wide common term (idf does the
+    work); the tf-sum model gets this exactly backwards — which is why
+    BM25 exists (reference relevance = ES best_fields, df-normalized)."""
+    rows = [(f"c{i}", "common common common common common common")
+            for i in range(8)]
+    rows.append(("rare1", "rare common"))
+    chunks = spark.createDataFrame(rows, "chunk_id string, text string")
+    index = query.build_inverted_index(chunks)
+
+    bm = query.keyword_scores_bm25(index, "rare common", k=3).collect()
+    assert bm[0]["chunk_id"] == "rare1"
+
+    tf = query.keyword_scores_from_index(index, "rare common", k=3).collect()
+    assert tf[0]["chunk_id"] != "rare1"  # tf-sum favors the stuffed docs
+
+    # empty query -> empty, well-typed result
+    assert query.keyword_scores_bm25(index, "???", k=3).count() == 0
+
+
 def test_graph_stats_tidy_counts(spark):
     nodes = spark.createDataFrame(
         [("A", "A", ["Org"]), ("B", "B", ["Org", "Law"]), ("C", "C", ["Law"])],
@@ -212,11 +341,11 @@ def test_graphrag_search_end_to_end(spark):
     assert len(ents) <= 100
 
     ctx = build_context(out["hits"], out["entities"], frames["chunks"])
-    assert ctx.startswith("Relevant text passages:")
-    assert "[1] (score=" in ctx
+    assert ctx.startswith("=== Relevant Text Chunks ===")
+    assert "\nChunk 1 (score: " in ctx
     if ents:
-        assert "Related entities:" in ctx
-        assert f"- {ents[0]['name']}" in ctx
+        assert "=== Related Entities ===" in ctx
+        assert f"\n{ents[0]['name']} (" in ctx
 
     # determinism across repeated invocations
     out2 = graphrag_search(

@@ -111,6 +111,11 @@ def main() -> None:
     t8 = results[lo]["queries"]["kg_pipeline"]
     t32 = results[hi]["queries"]["kg_pipeline"]
     eff = (t8 / t32) / 4
+    # headline segment per bench.py's pinned contract: pipeline + its
+    # index sink together (robust to internal attribution)
+    pi8 = t8 + results[lo]["queries"]["index_build"]
+    pi32 = t32 + results[hi]["queries"]["index_build"]
+    eff_pi = (pi8 / pi32) / 4
     total8 = results[lo]["value"]
     total32 = results[hi]["value"]
     eff_total = (total8 / total32) / 4
@@ -119,6 +124,8 @@ def main() -> None:
         "value": round(eff, 3),
         "unit": "fraction",
         "kg_pipeline_sec": {f"local{lo}": t8, f"local{hi}": t32},
+        "pipeline_plus_index_sec": {f"local{lo}": pi8, f"local{hi}": pi32},
+        "eff_pipeline_plus_index": round(eff_pi, 3),
         "docs_per_sec": {
             f"local{lo}": results[lo]["docs_per_sec"],
             f"local{hi}": results[hi]["docs_per_sec"],
@@ -154,7 +161,9 @@ def main() -> None:
         f"| Metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |",
         "|---|---|---|---|",
         f"| kg_pipeline wall (s) | {t8} | {t32} | **{eff:.3f}** |",
-        f"| kg_pipeline docs/sec | {results[lo]['docs_per_sec']} | "
+        f"| pipeline+index wall (s) | {round(pi8, 3)} | {round(pi32, 3)} "
+        f"| **{eff_pi:.3f}** |",
+        f"| docs/sec (pipeline+index) | {results[lo]['docs_per_sec']} | "
         f"{results[hi]['docs_per_sec']} | |",
         f"| bench total (s) | {total8} | {total32} | {eff_total:.3f} |",
         "",
