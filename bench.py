@@ -98,8 +98,13 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         extra = {"spark.task.cpus": forced}
     else:
         extra = {"spark.task.cpus": "2"} if cpus >= 16 else {}
+    # KGSPARK_BENCH_MASTER overrides the master URL — the scaling
+    # tool's cluster protocol passes local-cluster[n,cores,mem] here
+    # (real executor JVMs; each owns its cores, so no task.cpus
+    # equalization is needed at either level)
+    master = os.environ.get("KGSPARK_BENCH_MASTER") or f"local[{cpus}]"
     spark = get_spark(
-        "kgspark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        "kgspark-bench", master=master, shuffle_partitions=cpus,
         extra_conf=extra,
     )
     read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
@@ -172,6 +177,12 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         "minhash_near_dup",
         lambda: minhash_near_dup(docs, threshold=0.5).count(),
     )
+    # Scaling-protocol runs (tools/bench_scaling.py) time only the
+    # r2-comparable segment list; the r3-new segments below are skipped
+    # under this knob so per-level wall time measures the same work
+    # across rounds.
+    skip_extras = os.environ.get("KGSPARK_BENCH_SKIP_EXTRAS") == "1"
+
     # md5 mode = the oracle-checked kernel (pandas UDF); xxh mode = the
     # fully-JVM production kernel — timed apart to quantify the gap.
     # The fixture docs are tiny (~30 tokens), so the near-dup segments
@@ -183,31 +194,32 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         "simhash_near_dup",
         lambda: simhash_near_dup(docs, hash_mode="md5").count(),
     )
-    timed(
-        "simhash_near_dup_xxh",
-        lambda: simhash_near_dup(docs, hash_mode="xxhash64").count(),
-    )
-    from kgspark.dataops import simhash
+    if not skip_extras:
+        from kgspark.dataops import simhash
 
-    docs_heavy = (
-        docs.limit(2000)
-        .withColumn(
-            "text", F.concat_ws(" ", F.array_repeat(F.col("text"), 20))
+        timed(
+            "simhash_near_dup_xxh",
+            lambda: simhash_near_dup(docs, hash_mode="xxhash64").count(),
         )
-        .persist()
-    )
-    docs_heavy.count()  # materialize the fixture untimed
-    timed(
-        "simhash_sig_md5_heavy",
-        lambda: simhash(docs_heavy, hash_mode="md5")
-        .agg(F.expr("bit_xor(simhash)")).collect(),
-    )
-    timed(
-        "simhash_sig_xxh_heavy",
-        lambda: simhash(docs_heavy, hash_mode="xxhash64")
-        .agg(F.expr("bit_xor(simhash)")).collect(),
-    )
-    docs_heavy.unpersist()
+        docs_heavy = (
+            docs.limit(2000)
+            .withColumn(
+                "text", F.concat_ws(" ", F.array_repeat(F.col("text"), 20))
+            )
+            .persist()
+        )
+        docs_heavy.count()  # materialize the fixture untimed
+        timed(
+            "simhash_sig_md5_heavy",
+            lambda: simhash(docs_heavy, hash_mode="md5")
+            .agg(F.expr("bit_xor(simhash)")).collect(),
+        )
+        timed(
+            "simhash_sig_xxh_heavy",
+            lambda: simhash(docs_heavy, hash_mode="xxhash64")
+            .agg(F.expr("bit_xor(simhash)")).collect(),
+        )
+        docs_heavy.unpersist()
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     timed("ann_cosine_topk", lambda: brute_force_ann(emb, qvec, 10).collect())
@@ -240,72 +252,76 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     )
     shutil.rmtree(ivf_wh, ignore_errors=True)
 
-    # fuzzy search: vocab-gram blocking table built ONCE (ingest-side
-    # artifact), then the per-query cost is grams-broadcast-join only
-    from kgspark.query import build_vocab_grams, keyword_scores_fuzzy
+    if not skip_extras:
+        # fuzzy search: vocab-gram blocking table built ONCE (ingest-
+        # side artifact), then per-query cost is grams-broadcast-join
+        from kgspark.query import build_vocab_grams, keyword_scores_fuzzy
 
-    fz_wh = tempfile.mkdtemp(prefix="kgspark_bench_fuzzy_")
-    fz_io = TableIO(fz_wh)
-    fz_snap: dict = {}
-    timed(
-        "fuzzy_vocab_build",
-        lambda: fz_snap.update(
-            s=build_vocab_grams(fz_io, frames["inverted_index"], input_key="bench")
-        ),
-    )
-    vg_bench = fz_io.read(spark, "vocab_grams", fz_snap["s"])
-    timed(
-        "fuzzy_query",
-        lambda: keyword_scores_fuzzy(
-            frames["inverted_index"], "cuort contrct agreemnt", k=10,
-            vocab_grams=vg_bench,
-        ).collect(),
-    )
-    shutil.rmtree(fz_wh, ignore_errors=True)
+        fz_wh = tempfile.mkdtemp(prefix="kgspark_bench_fuzzy_")
+        fz_io = TableIO(fz_wh)
+        fz_snap: dict = {}
+        timed(
+            "fuzzy_vocab_build",
+            lambda: fz_snap.update(
+                s=build_vocab_grams(
+                    fz_io, frames["inverted_index"], input_key="bench"
+                )
+            ),
+        )
+        vg_bench = fz_io.read(spark, "vocab_grams", fz_snap["s"])
+        timed(
+            "fuzzy_query",
+            lambda: keyword_scores_fuzzy(
+                frames["inverted_index"], "cuort contrct agreemnt", k=10,
+                vocab_grams=vg_bench,
+            ).collect(),
+        )
+        shutil.rmtree(fz_wh, ignore_errors=True)
 
-    # --- production-dim vector math (dim 1024 / nlist 256) -----------------
-    # the regime where literal codegen cannot compile: exercises the
-    # broadcast-numpy pandas-UDF path (ivf_assign / LSH signature) on a
-    # deterministic synthetic corpus generated IN the executors
-    import numpy as np
-    import pandas as pd
+    if not skip_extras:
+        # --- production-dim vector math (dim 1024 / nlist 256) -------------
+        # the regime where literal codegen cannot compile: exercises the
+        # broadcast-numpy pandas-UDF path (ivf_assign / LSH signature) on
+        # a deterministic synthetic corpus generated IN the executors
+        import numpy as np
+        import pandas as pd
 
-    from kgspark.dataops import embedding_near_dup_lsh, ivf_assign
+        from kgspark.dataops import embedding_near_dup_lsh, ivf_assign
 
-    hd_dim, hd_n = 1024, 20_000
+        hd_dim, hd_n = 1024, 20_000
 
-    def gen_hd(batches):
-        for pdf in batches:
-            yield pd.DataFrame({
-                "vec_id": pdf["id"],
-                "embedding": [
-                    np.random.default_rng(int(i))
-                    .standard_normal(hd_dim).astype("float32")
-                    for i in pdf["id"]
-                ],
-            })
+        def gen_hd(batches):
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "vec_id": pdf["id"],
+                    "embedding": [
+                        np.random.default_rng(int(i))
+                        .standard_normal(hd_dim).astype("float32")
+                        for i in pdf["id"]
+                    ],
+                })
 
-    emb_hd = (
-        spark.range(hd_n).repartition(cpus)
-        .mapInPandas(gen_hd, "vec_id long, embedding array<float>")
-        .persist()
-    )
-    emb_hd.count()  # materialize the fixture untimed
-    cents_hd = [
-        [float(x) for x in r["embedding"]]
-        for r in emb_hd.filter(F.col("vec_id") < 256).collect()
-    ]
-    timed(
-        "ann_ivf_highdim_assign",
-        lambda: ivf_assign(emb_hd, cents_hd).count(),  # auto -> vectorized
-    )
-    timed(
-        "embedding_lsh_highdim",
-        lambda: embedding_near_dup_lsh(
-            emb_hd, threshold=0.99, n_planes=128, bands=8, dim=hd_dim
-        ).count(),
-    )
-    emb_hd.unpersist()
+        emb_hd = (
+            spark.range(hd_n).repartition(cpus)
+            .mapInPandas(gen_hd, "vec_id long, embedding array<float>")
+            .persist()
+        )
+        emb_hd.count()  # materialize the fixture untimed
+        cents_hd = [
+            [float(x) for x in r["embedding"]]
+            for r in emb_hd.filter(F.col("vec_id") < 256).collect()
+        ]
+        timed(
+            "ann_ivf_highdim_assign",
+            lambda: ivf_assign(emb_hd, cents_hd).count(),  # auto -> vectorized
+        )
+        timed(
+            "embedding_lsh_highdim",
+            lambda: embedding_near_dup_lsh(
+                emb_hd, threshold=0.99, n_planes=128, bands=8, dim=hd_dim
+            ).count(),
+        )
+        emb_hd.unpersist()
 
     def text_analysis():
         lang_id(docs).count()

@@ -5,7 +5,13 @@ network to fetch the iceberg-spark-runtime jar, so tables are parquet
 directories plus a JSON manifest giving Iceberg-like snapshot commit /
 current-pointer / input-lineage semantics. All engine table access goes
 through this shim, so swapping in `spark.read.format("iceberg")` on a
-real cluster is a one-class change.
+real cluster is a one-class change. The exact catalog semantics the
+engine relies on (atomic pointer swap, immutable snapshot lineage,
+time-travel reads, partition pruning, snapshot-bound metadata, snapshot
+expiry) are enumerated one-test-per-contract in
+tests/test_io.py::TestIcebergConformance, with the TableIO->Iceberg
+feature mapping in its docstring — running that suite against a real
+Iceberg catalog validates the swap.
 
 Layout:
     <warehouse>/<table>/manifest.json

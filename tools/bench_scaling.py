@@ -46,23 +46,40 @@ def make_zip(out: Path) -> Path:
 
 
 def run_once(sf_dir: str, cpus: int, zip_path: Path, n_pages: int,
-             sent_scale: int) -> dict:
+             sent_scale: int, mode: str = "equalized") -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["KGSPARK_BENCH_PAGES"] = str(n_pages)
     env["KGSPARK_BENCH_SENT_SCALE"] = str(sent_scale)
-    # equalize slot width across levels: one task = JVM thread + Python
-    # worker = 2 cores at BOTH local[2] and local[8] (1 slot vs 4 slots
-    # = the N -> 4N proxy). Without this the 2-core level's Python
-    # workers borrow idle host cores beyond its nominal budget and the
-    # measured ratio understates true scaling.
-    env.setdefault("KGSPARK_BENCH_TASK_CPUS", "2")
+    # scaling runs time the r2-comparable headline segments only
+    env["KGSPARK_BENCH_SKIP_EXTRAS"] = "1"
+    if mode == "cluster":
+        # REAL executor JVMs: local-cluster[n,2,mem] spawns n separate
+        # executor processes with 2 cores each — each executor owns its
+        # cores (Python workers included), so slot cost is equal at
+        # both levels by construction. `cpus` = number of executors.
+        master = f"local-cluster[{cpus},2,6144]"
+        env["SPARK_GRAFT_CPUS"] = str(cpus * 2)  # shuffle partitions
+        env["KGSPARK_BENCH_MASTER"] = master
+        env["KGSPARK_BENCH_TASK_CPUS"] = "1"
+        extra = ["--conf", "spark.executor.memory=4g"]
+    else:
+        master = f"local[{cpus}]"
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        # equalized: one slot = JVM thread + Python worker = 2 cores at
+        # BOTH levels (1 slot vs 4 slots = the N -> 4N proxy). raw: no
+        # task sizing — the small level's Python workers borrow idle
+        # host cores, understating efficiency (see BENCH/BASELINE.md).
+        env["KGSPARK_BENCH_TASK_CPUS"] = (
+            "2" if mode == "equalized" else "1"
+        )
+        extra = []
     cmd = [
         "spark-submit",
-        "--master", f"local[{cpus}]",
+        "--master", master,
         "--driver-memory", os.environ.get("KGSPARK_DRIVER_MEM", "16g"),
         "--conf", "spark.ui.enabled=false",
+        *extra,
         "--py-files", str(zip_path),
         str(REPO / "bench.py"),
     ]
@@ -91,7 +108,14 @@ def main() -> None:
     if "--pages" in sys.argv:
         n_pages = int(sys.argv[sys.argv.index("--pages") + 1])
     sent_scale = int(os.environ.get("KGSPARK_BENCH_SENT_SCALE", "10"))
-    levels = (2, 8)
+    mode = "equalized"
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+    if mode not in ("equalized", "raw", "cluster"):
+        raise SystemExit(f"unknown --mode {mode}")
+    # cluster mode: levels are EXECUTOR counts (x2 cores each);
+    # otherwise core counts for local[N]
+    levels = (1, 4) if mode == "cluster" else (2, 8)
 
     zip_path = make_zip(Path("/tmp/kgspark.zip"))
     # interleave the parallelism levels so shared-host noise hits both
@@ -99,8 +123,8 @@ def main() -> None:
     results: dict[int, dict] = {}
     for r in range(repeats):
         for cpus in levels:
-            res = run_once(sf_dir, cpus, zip_path, n_pages, sent_scale)
-            print(f"[local[{cpus}] run {r}] {json.dumps(res)}", flush=True)
+            res = run_once(sf_dir, cpus, zip_path, n_pages, sent_scale, mode)
+            print(f"[{mode} level={cpus} run {r}] {json.dumps(res)}", flush=True)
             best = results.get(cpus)
             if best is None or res["queries"]["kg_pipeline"] < best[
                 "queries"
@@ -123,6 +147,7 @@ def main() -> None:
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "fraction",
+        "protocol": mode,
         "kg_pipeline_sec": {f"local{lo}": t8, f"local{hi}": t32},
         "pipeline_plus_index_sec": {f"local{lo}": pi8, f"local{hi}": pi32},
         "eff_pipeline_plus_index": round(eff_pi, 3),
@@ -141,19 +166,26 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    md = bench_dir / "BASELINE.md"
+    md = bench_dir / f"scaling_{mode}.md"
+    proto_desc = {
+        "equalized": "`local[2]` vs `local[8]`, `spark.task.cpus=2` at "
+        "both levels (1 slot vs 4 slots; removes the small level's "
+        "idle-core borrowing, slightly overstates)",
+        "raw": "`local[2]` vs `local[8]`, no task sizing (the 2-core "
+        "level's Python workers borrow idle host cores — understates)",
+        "cluster": "`local-cluster[1,2,6144]` vs `local-cluster[4,2,"
+        "6144]` — REAL separate executor JVMs, 1 vs 4 executors x 2 "
+        "cores; each executor owns its cores incl. Python workers, so "
+        "slot cost is equal at both levels by construction (the "
+        "closest sandbox analog of N vs 4N executors)",
+    }[mode]
     lines = [
-        "# BENCH/BASELINE.md — measured numbers",
+        f"# BENCH/scaling_{mode}.md — measured numbers",
         "",
-        "Protocol (BASELINE.md): same workload, identical input, "
-        "`spark-submit --py-files kgspark.zip bench.py` at `local[N]` "
-        "and `local[4N]`. N=2 here: each Python-stage task occupies a "
-        "JVM thread plus a Python worker, so local[32] would schedule "
-        "64+ runnable threads on this shared 32-core host (neighbor "
-        "load 5-13) and measures BELOW local[8] from oversubscription "
-        "thrash; 2 -> 8 keeps both levels inside real headroom, the "
-        "honest proxy for N -> 4N executors. "
-        "Efficiency = (T_N / T_4N) / 4.",
+        "Protocol: same workload, identical input, "
+        f"`spark-submit --py-files kgspark.zip bench.py`; {proto_desc}. "
+        "Efficiency = (T_N / T_4N) / 4. Levels interleaved per repeat, "
+        "best run per level.",
         "",
         f"Input: `{sf_dir}`, pages corpus n={summary['n_pages']}, "
         f"sent_scale={sent_scale} (~6-12 KB text/page).",
