@@ -523,6 +523,42 @@ def _q_hybrid_fusion(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket sampling per language stratum — the
+    training-mix rebalancing primitive; membership is md5-hash-stable,
+    so the oracle reproduces the exact surviving rows in SQL."""
+    from kgspark.dataops import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.5, "zh": 0.3}, default=0.2
+    ).select("doc_id", "lang")
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (10-minute gap):
+    lag + running-sum window then hash agg, one exchange on user_id."""
+    from kgspark.dataops import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap_seconds=600)
+
+
+def _q_events_json_props(spark, sf_dir):
+    """JSON functions through the driver contract: extract the numeric
+    `k` property from the events' JSON props column and aggregate per
+    event type (get_json_object — JVM-side JSON path evaluation)."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.select("event_type", k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def _q_keyword_bm25(spark, sf_dir):
     """BM25 relevance top-10 over the documents inverted index — the
     df/length-normalized analog of the reference's ES best_fields
@@ -686,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "active_inactive_customers": _q_active_inactive_customers,
         "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
+        "sessionize": _q_sessionize,
+        "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -693,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "corpus_filter": _q_corpus_filter,
+        "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1156,6 +1195,46 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'ok' END AS reason
               FROM scored)
             SELECT doc_id, (reason = 'ok') AS keep, reason FROM reasons
+        """,
+        "stratified_sample": """
+            -- same md5/15-hex-char 64-bit hash as the Spark
+            -- hash_bucket (conv(substring(md5(key),1,15),16,10))
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                  < CASE WHEN lang = 'en' THEN 50
+                         WHEN lang = 'zh' THEN 30
+                         ELSE 20 END
+        """,
+        "sessionize": """
+            WITH flags AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     (sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+              FROM flags)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(epoch_us(ts)) AS session_start_us,
+                   max(epoch_us(ts)) AS session_end_us
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   count(k) AS n_with_k,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM (SELECT event_type,
+                         json_extract_string(props, '$.k')::BIGINT AS k
+                  FROM events) t
+            GROUP BY event_type
         """,
         "keyword_bm25_topk": """
             -- SQL twin of kgspark.query.keyword_scores_bm25 over the

@@ -910,6 +910,88 @@ def corpus_filter(
     )
 
 
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic sampling bucket in [0, buckets): engine-portable
+    md5-based 64-bit hash of the key — the reproducible alternative to
+    rand() sampling. The same rows survive on every engine, cluster
+    size, and run (required for auditable training-data subsets); the
+    hash is the same md5/15-hex-char construction the MinHash md5 mode
+    uses, so it is bit-identical in DuckDB oracle SQL."""
+    h = F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    default: float = 0.1,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the language-rebalancing
+    primitive of a pretraining data mix: keep `fractions[stratum]` of
+    each stratum (default rate otherwise), selected by hash bucket so
+    membership is stable across runs and engines. One narrow scan, no
+    shuffle, fully JVM-side."""
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        pct = F.lit(int(round(frac * 100)))
+        thresh = F.when(cond, pct) if thresh is None else thresh.when(cond, pct)
+    thresh = (
+        F.lit(int(round(default * 100)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default * 100))))
+    )
+    return documents.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization — the standard event-stream shaping
+    operator: a user's events belong to one session until an
+    inter-event gap exceeds gap_seconds; returns one row per session
+    (user_id, session_idx, n_events, session_start_us, session_end_us).
+
+    Shape: lag + running-sum window over (user_id) then one hash agg —
+    a single exchange on user_id; per-user data is bounded by that
+    user's event count, so no skew beyond what any per-user operator
+    has. Timestamps compare as unix microseconds (integer math, bit-
+    identical in the DuckDB oracle via epoch_us)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        # unix_micros requires TIMESTAMP; an NTZ column converts
+        # timezone-independently via timestampdiff from the NTZ epoch
+        # (a session-tz cast would shift absolute values off the
+        # oracle's naive-as-UTC epoch_us semantics).
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    else:
+        ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(ts_us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("session_idx", sess)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_us).alias("session_start_us"),
+            F.max(ts_us).alias("session_end_us"),
+        )
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Quality heuristics: char length, punctuation ratio, stopword
     ratio, mean word length — the standard pretraining-filter features."""

@@ -366,6 +366,48 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"]), r
 
 
+def test_stratified_sample_deterministic_rates(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept1 = {r["doc_id"] for r in dataops.stratified_sample(
+        docs, {"en": 0.5}, default=0.2).collect()}
+    kept2 = {r["doc_id"] for r in dataops.stratified_sample(
+        docs, {"en": 0.5}, default=0.2).collect()}
+    assert kept1 == kept2 and kept1  # hash-stable membership, not rand()
+    # per-stratum rates land near the configured fractions
+    n_en = docs.filter("lang = 'en'").count()
+    kept_en = dataops.stratified_sample(
+        docs, {"en": 0.5}, default=0.2).filter("lang = 'en'").count()
+    assert abs(kept_en / max(n_en, 1) - 0.5) < 0.25
+    # fraction 0 / 1 edge cases
+    assert dataops.stratified_sample(
+        docs, {}, default=1.0).count() == docs.count()
+    assert dataops.stratified_sample(docs, {}, default=0.0).count() == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 0.0, None),
+        (2, t0 + dt.timedelta(seconds=10), 7, "a", 0.0, None),
+        (3, t0 + dt.timedelta(seconds=700), 7, "a", 0.0, None),  # >600s gap
+        (4, t0, 8, "a", 0.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {(r["user_id"], r["session_idx"]): r
+           for r in dataops.sessionize(events, gap_seconds=600).collect()}
+    assert got[(7, 1)]["n_events"] == 2   # first session: t0, t0+10
+    assert got[(7, 2)]["n_events"] == 1   # the 700s event opens session 2
+    assert got[(8, 1)]["n_events"] == 1
+    span = got[(7, 1)]["session_end_us"] - got[(7, 1)]["session_start_us"]
+    assert span == 10_000_000
+
+
 def test_near_dup_clusters_transitive(spark):
     # A~B and B~C near-dups but A,C farther apart: the cluster must
     # still merge all three (transitivity via CC), keep = min doc_id

@@ -70,6 +70,12 @@ def run_once(sf_dir: str, cpus: int, zip_path: Path, n_pages: int,
         # BOTH levels (1 slot vs 4 slots = the N -> 4N proxy). raw: no
         # task sizing — the small level's Python workers borrow idle
         # host cores, understating efficiency (see BENCH/BASELINE.md).
+        # pinned: no task sizing either, but the WHOLE process tree
+        # (JVM + forked Python workers) is cpuset-pinned to exactly
+        # `cpus` physical cores via taskset, so the small level cannot
+        # borrow host cores (raw's bias) and no slot arithmetic skews
+        # the big level (equalized's bias) — the cleanest N -> 4N cap
+        # this host can express.
         env["KGSPARK_BENCH_TASK_CPUS"] = (
             "2" if mode == "equalized" else "1"
         )
@@ -83,6 +89,8 @@ def run_once(sf_dir: str, cpus: int, zip_path: Path, n_pages: int,
         "--py-files", str(zip_path),
         str(REPO / "bench.py"),
     ]
+    if mode == "pinned":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
     proc = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=7200
     )
@@ -111,7 +119,7 @@ def main() -> None:
     mode = "equalized"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
-    if mode not in ("equalized", "raw", "cluster"):
+    if mode not in ("equalized", "raw", "cluster", "pinned"):
         raise SystemExit(f"unknown --mode {mode}")
     # cluster mode: levels are EXECUTOR counts (x2 cores each);
     # otherwise core counts for local[N]
@@ -173,6 +181,12 @@ def main() -> None:
         "idle-core borrowing, slightly overstates)",
         "raw": "`local[2]` vs `local[8]`, no task sizing (the 2-core "
         "level's Python workers borrow idle host cores — understates)",
+        "pinned": "`taskset -c 0-1 spark-submit --master local[2]` vs "
+        "`taskset -c 0-7 ... local[8]` — the WHOLE process tree (JVM + "
+        "forked Python workers) cpuset-pinned to exactly N physical "
+        "cores, so neither level can borrow host cores and no slot "
+        "arithmetic skews either level: a hard N-core vs 4N-core cap, "
+        "the bias-free strong-scaling measurement",
         "cluster": "`local-cluster[1,2,6144]` vs `local-cluster[4,2,"
         "6144]` — REAL separate executor JVMs, 1 vs 4 executors x 2 "
         "cores; each executor owns its cores incl. Python workers, so "
