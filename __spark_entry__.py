@@ -543,6 +543,25 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_read(spark, sf_dir, "events"), gap_seconds=600)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters per document: top-word fraction,
+    type/token ratio, duplicate-bigram fraction — explode + two
+    map-side-combinable hash aggs joined to a per-row bigram array
+    pass; linear in tokens."""
+    from kgspark.dataops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 8-word
+    shingle with the deterministic eval slice (doc_id % 97 == 0) — the
+    eval shingle set broadcasts, so the check costs one scan + agg."""
+    from kgspark.dataops import ngram_contamination
+
+    return ngram_contamination(_read(spark, sf_dir, "documents"))
+
+
 def _q_events_json_props(spark, sf_dir):
     """JSON functions through the driver contract: extract the numeric
     `k` property from the events' JSON props column and aggregate per
@@ -732,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "corpus_filter": _q_corpus_filter,
         "stratified_sample": _q_stratified_sample,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1204,6 +1225,72 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 50
                          WHEN lang = 'zh' THEN 30
                          ELSE 20 END
+        """,
+        "repetition_stats": f"""
+            WITH base AS (
+              SELECT doc_id, string_split({norm}, ' ') AS words
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM (SELECT doc_id, unnest(words) AS word FROM base) t
+              WHERE word <> ''
+              GROUP BY 1, 2
+            ),
+            word_stats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     count(*) AS n_distinct, max(c) AS top_c
+              FROM wc GROUP BY 1
+            ),
+            bi AS (
+              SELECT doc_id,
+                     [array_to_string(words[i:i+1], ' ')
+                      for i in range(1, greatest(len(words) - 1, 1) + 1)
+                     ] AS bigrams
+              FROM base
+            ),
+            bigram_stats AS (
+              SELECT doc_id, len(bigrams) AS n_bigrams,
+                     len(list_distinct(bigrams)) AS n_distinct_bigrams
+              FROM bi
+            )
+            SELECT w.doc_id,
+                   w.n_words,
+                   round(w.top_c * 1.0 / w.n_words, 6) AS top_word_frac,
+                   round(w.n_distinct * 1.0 / w.n_words, 6)
+                     AS distinct_word_ratio,
+                   round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 6)
+                     AS dup_bigram_frac
+            FROM word_stats w JOIN bigram_stats b USING (doc_id)
+        """,
+        "ngram_contamination": f"""
+            WITH base AS (
+              SELECT doc_id, string_split({norm}, ' ') AS words
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [array_to_string(words[i:i+7], ' ')
+                        for i in range(1, greatest(len(words) - 7, 1) + 1)]
+                     )) AS shingle
+              FROM base
+            ),
+            sh2 AS (SELECT * FROM sh WHERE shingle <> ''),
+            eval_sh AS (
+              SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 97 = 0
+            ),
+            hits AS (
+              SELECT t.doc_id, count(*) AS n_shingles,
+                     count(e.shingle) AS n_contaminated
+              FROM (SELECT * FROM sh2 WHERE doc_id % 97 <> 0) t
+              LEFT JOIN eval_sh e ON t.shingle = e.shingle
+              GROUP BY 1
+            )
+            SELECT doc_id, n_shingles, n_contaminated,
+                   round(n_contaminated * 1.0 / n_shingles, 6)
+                     AS contaminated_frac,
+                   n_contaminated > 0 AS is_contaminated
+            FROM hits
         """,
         "sessionize": """
             WITH flags AS (

@@ -60,7 +60,9 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         ivf_ann,
         lang_id,
         minhash_near_dup,
+        ngram_contamination,
         quality_scores,
+        repetition_stats,
         simhash_near_dup,
         token_stats,
     )
@@ -329,6 +331,14 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         token_stats(docs).count()
 
     timed("text_analysis", text_analysis)
+
+    # new r3 segment (kept separate from text_analysis so that
+    # segment's r1/r2 timings stay comparable)
+    def corpus_filters():
+        repetition_stats(docs).count()
+        ngram_contamination(docs).count()
+
+    timed("corpus_filters", corpus_filters)
 
     def relational():
         li = read("lineitem")

@@ -1011,3 +1011,108 @@ def quality_scores(documents: DataFrame) -> DataFrame:
             (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 6
         ).alias("mean_word_len"),
     )
+
+# ---------------------------------------------------------------------------
+# repetition filters + benchmark decontamination (Gopher-style; JVM-side)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition features per document — the standard
+    pretraining repetition filters: top-word fraction (most frequent
+    word's share of tokens), distinct-word ratio (type/token ratio),
+    and duplicate-bigram fraction (1 - distinct bigrams / bigrams).
+
+    Shape: one explode -> two hash aggs (both map-side combinable) for
+    the word counts, plus a per-row array pass for the bigram stats,
+    joined back on doc_id. Linear in tokens end-to-end — deliberately
+    NOT the O(tokens x vocabulary) per-row higher-order-function scan,
+    which would turn a 10k-token web page into 10^7 comparisons.
+
+    The reference has no corpus-quality stage (its flow is
+    chunk->extract, /root/reference/src/builders/graphrag.py); this is
+    one of the first-class training-data operators the engine adds.
+    """
+    words = F.split(norm_text(F.col("text")), " ")
+    base = documents.select("doc_id", words.alias("words"))
+    wc = (
+        base.select("doc_id", F.explode("words").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    w = F.col("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    bigram_stats = base.select(
+        "doc_id",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    return word_stats.join(bigram_stats, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "distinct_word_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def ngram_contamination(
+    documents: DataFrame,
+    eval_docs: DataFrame | None = None,
+    n: int = 8,
+    eval_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap: flag every training
+    document that shares at least one n-word shingle with the held-out
+    eval set (default eval slice: doc_id % eval_mod == 0, a stable
+    stand-in for a benchmark suite). Emits per-doc shingle counts, the
+    contaminated fraction, and the drop flag.
+
+    Shape: distinct shingles per side (reuses word_shingles, which is
+    already per-doc distinct), then a broadcast left join keyed on the
+    shingle and one hash agg. At 100 TB the eval side is a benchmark
+    suite — MBs, not TBs — so the broadcast removes the shuffle
+    entirely; if a caller passes an eval set too big to broadcast,
+    dropping the hint degrades gracefully to a shuffled hash join on
+    the shingle key (still never all-pairs).
+    """
+    if eval_docs is None:
+        eval_docs = documents.filter((F.col("doc_id") % eval_mod) == 0)
+        train_docs = documents.filter((F.col("doc_id") % eval_mod) != 0)
+    else:
+        train_docs = documents
+    eval_sh = word_shingles(eval_docs, n=n).select("shingle").distinct()
+    train_sh = word_shingles(train_docs, n=n)
+    hits = (
+        train_sh.join(
+            F.broadcast(eval_sh.withColumn("__hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+            "contaminated_frac"
+        ),
+        (F.col("n_contaminated") > 0).alias("is_contaminated"),
+    )

@@ -429,3 +429,59 @@ def test_near_dup_clusters_transitive(spark):
     assert got[1]["keep_doc_id"] == 0 and got[1]["is_dup"]
     assert got[2]["keep_doc_id"] == 0 and got[2]["is_dup"]
     assert got[3]["keep_doc_id"] == 3 and not got[3]["is_dup"]
+
+
+def test_repetition_stats_values(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "a a a a", "en"),                 # max repetition
+            (1, "w x y z", "en"),                 # no repetition
+            (2, "go go stop go go stop", "en"),   # repeated bigrams
+        ],
+        DOCS_DDL,
+    )
+    got = {r["doc_id"]: r for r in dataops.repetition_stats(d).collect()}
+    r0 = got[0]
+    assert r0["n_words"] == 4
+    assert r0["top_word_frac"] == 1.0
+    assert r0["distinct_word_ratio"] == 0.25
+    assert r0["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    r1 = got[1]
+    assert r1["top_word_frac"] == 0.25
+    assert r1["distinct_word_ratio"] == 1.0
+    assert r1["dup_bigram_frac"] == 0.0
+    r2 = got[2]
+    # bigrams: go go, go stop, stop go, go go, go stop -> 5 total 3 distinct
+    assert r2["dup_bigram_frac"] == pytest.approx(1 - 3 / 5, abs=1e-6)
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    eval_text = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (0, eval_text, "en"),                       # eval doc (0 % 97 == 0)
+        (1, "prefix " + eval_text + " suffix", "en"),  # contaminated
+        (2, " ".join(f"other{i}" for i in range(12)), "en"),  # clean
+    ]
+    d = spark.createDataFrame(rows, DOCS_DDL)
+    got = {r["doc_id"]: r for r in dataops.ngram_contamination(d).collect()}
+    assert 0 not in got                      # eval doc excluded from output
+    assert got[1]["is_contaminated"] is True
+    assert got[1]["n_contaminated"] == 5     # 12-token overlap -> 5 shared 8-grams
+    assert got[2]["is_contaminated"] is False
+    assert got[2]["n_contaminated"] == 0
+
+
+def test_ngram_contamination_explicit_eval_set(spark):
+    train = spark.createDataFrame(
+        [(10, " ".join(f"t{i}" for i in range(9)), "en")], DOCS_DDL
+    )
+    dirty_eval = spark.createDataFrame(
+        [(99, " ".join(f"t{i}" for i in range(8)), "en")], DOCS_DDL
+    )
+    clean_eval = spark.createDataFrame(
+        [(99, "nothing shared here at all in any gram", "en")], DOCS_DDL
+    )
+    hit = dataops.ngram_contamination(train, eval_docs=dirty_eval).collect()[0]
+    assert hit["is_contaminated"] is True
+    miss = dataops.ngram_contamination(train, eval_docs=clean_eval).collect()[0]
+    assert miss["is_contaminated"] is False
