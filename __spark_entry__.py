@@ -562,6 +562,29 @@ def _q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(_read(spark, sf_dir, "documents"))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction counts per document plus the scrubbed
+    text's fingerprint — one map-only JVM regex scan. The synthetic
+    corpus is PII-free (counts 0), so the oracle validates the shared
+    regex semantics; the planted-PII pytest carries the behavior."""
+    from kgspark.dataops import pii_scrub
+
+    return pii_scrub(_read(spark, sf_dir, "documents"))
+
+
+def _q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type
+    (p50/p90/p99). Exact `percentile` is the oracle-checkable mode; the
+    100 TB path is approx_percentile (t-digest sketch, mergeable
+    map-side) — pytest asserts the sketch tracks the exact answer."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def _q_events_json_props(spark, sf_dir):
     """JSON functions through the driver contract: extract the numeric
     `k` property from the events' JSON props column and aggregate per
@@ -753,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
+        "pii_scrub": _q_pii_scrub,
+        "value_percentiles": _q_value_percentiles,
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1262,6 +1287,30 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 6)
                      AS dup_bigram_frac
             FROM word_stats w JOIN bigram_stats b USING (doc_id)
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'))
+                     AS scrubbed_fingerprint
+            FROM documents
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "ngram_contamination": f"""
             WITH base AS (

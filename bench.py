@@ -61,6 +61,7 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         lang_id,
         minhash_near_dup,
         ngram_contamination,
+        pii_scrub,
         quality_scores,
         repetition_stats,
         simhash_near_dup,
@@ -337,6 +338,7 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     def corpus_filters():
         repetition_stats(docs).count()
         ngram_contamination(docs).count()
+        pii_scrub(docs).count()
 
     timed("corpus_filters", corpus_filters)
 

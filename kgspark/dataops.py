@@ -1116,3 +1116,50 @@ def ngram_contamination(
         ),
         (F.col("n_contaminated") > 0).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (JVM-side regex; engine-portable patterns)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+PII_REPLACEMENTS = {
+    "email": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction — the compliance pass every
+    production training-data pipeline runs before anything ships:
+    per-doc counts of emails / phone numbers / IPv4 addresses plus the
+    fingerprint of the scrubbed text (scrub order: email, phone, ipv4,
+    fixed so the output is deterministic when patterns overlap).
+
+    One narrow JVM-side scan (regexp_extract_all + chained
+    regexp_replace) — no shuffle, no Python; at 100 TB this is a
+    map-only stage that pipelines into whatever sink follows.
+    """
+    t = F.col("text")
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, PII_REPLACEMENTS[kind])
+    return documents.select(
+        "doc_id",
+        *counts,
+        F.md5(scrubbed).alias("scrubbed_fingerprint"),
+    )

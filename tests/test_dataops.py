@@ -485,3 +485,43 @@ def test_ngram_contamination_explicit_eval_set(spark):
     assert hit["is_contaminated"] is True
     miss = dataops.ngram_contamination(train, eval_docs=clean_eval).collect()[0]
     assert miss["is_contaminated"] is False
+
+
+def test_pii_scrub_planted(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "contact me at jane.doe+x@example.org or bob@test.io now", "en"),
+            (1, "call +1 (555) 123-4567 from host 192.168.0.1 today", "en"),
+            (2, "clean text with no sensitive content at all", "en"),
+        ],
+        DOCS_DDL,
+    )
+    got = {r["doc_id"]: r for r in dataops.pii_scrub(d).collect()}
+    assert got[0]["n_email"] == 2 and got[0]["n_phone"] == 0
+    assert got[1]["n_phone"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[2]["n_email"] == got[2]["n_phone"] == got[2]["n_ipv4"] == 0
+    # redaction removed every match: re-scanning the scrubbed text
+    # finds nothing
+    import re
+
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for doc_id in texts:
+        red = texts[doc_id]
+        for kind, pat in dataops.PII_PATTERNS.items():
+            red = re.sub(pat, dataops.PII_REPLACEMENTS[kind], red)
+        for kind, pat in dataops.PII_PATTERNS.items():
+            assert not re.search(pat, red)
+
+
+def test_percentile_approx_tracks_exact(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.9)").alias("p")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p")
+    )
+    e = {r["event_type"]: r["p"] for r in exact.collect()}
+    a = {r["event_type"]: r["p"] for r in approx.collect()}
+    for k in e:
+        assert abs(a[k] - e[k]) / max(abs(e[k]), 1e-9) < 0.05
