@@ -562,6 +562,30 @@ def _q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(_read(spark, sf_dir, "documents"))
 
 
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash window-min) document sketch, reduced to
+    per-doc scalars: fingerprint count + md5 of the sorted fingerprint
+    list. Per-row array math, no shuffle before the final agg."""
+    from kgspark.dataops import winnow_fingerprints
+
+    fps = winnow_fingerprints(_read(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fps"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("fp")))
+        ).alias("sketch_hash"),
+    )
+
+
+def _q_winnow_near_dup(spark, sf_dir):
+    """Near-dup pairs by shared winnowing fingerprints — contiguous-
+    match detection (any shared >=6-word run fingerprints), bucket-
+    joined on the fingerprint with a max_df boilerplate cut."""
+    from kgspark.dataops import winnow_near_dup
+
+    return winnow_near_dup(_read(spark, sf_dir, "documents"))
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII detection + redaction counts per document plus the scrubbed
     text's fingerprint — one map-only JVM regex scan. The synthetic
@@ -778,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _q_ngram_contamination,
         "pii_scrub": _q_pii_scrub,
         "value_percentiles": _q_value_percentiles,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_near_dup": _q_winnow_near_dup,
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -818,6 +844,33 @@ def _md5h_sql(expr: str) -> str:
     matches kgspark.dataops._seeded_hash64(hash_mode="md5") bit-for-bit
     (Spark: conv(substring(md5(x),1,15),16,10))."""
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def _winnow_fp_cte(norm: str) -> str:
+    """CTE chain ending in `fps` (doc_id, fp): winnowing fingerprints
+    over word 3-grams with window 4 — mirrors
+    kgspark.dataops.winnow_fingerprints bit-for-bit (same md5 64-bit
+    gram hash, same slice indexing, same >=3-words filter)."""
+    gram = _md5h_sql("array_to_string(words[i:i+2], ' ')")
+    return f"""
+            wbase AS (
+              SELECT doc_id, words FROM (
+                SELECT doc_id, string_split({norm}, ' ') AS words
+                FROM documents) t
+              WHERE len(words) >= 3),
+            wh AS (
+              SELECT doc_id,
+                     [{gram} for i in range(1, len(words) - 2 + 1)]
+                       AS hashes
+              FROM wbase),
+            fps AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [list_min(hashes[i:i+3])
+                        for i in range(1, greatest(len(hashes) - 3, 1) + 1)]
+                     )) AS fp
+              FROM wh)
+    """
 
 
 def _cos_sql(a: str, b: str, guard_b: bool = False) -> str:
@@ -1287,6 +1340,26 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 6)
                      AS dup_bigram_frac
             FROM word_stats w JOIN bigram_stats b USING (doc_id)
+        """,
+        "winnow_fingerprint": f"""
+            WITH {_winnow_fp_cte(norm)}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+                   md5(array_to_string(list_sort(list(fp)), ','))
+                     AS sketch_hash
+            FROM fps GROUP BY doc_id
+        """,
+        "winnow_near_dup": f"""
+            WITH {_winnow_fp_cte(norm)},
+            rare AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8
+            ),
+            kept AS (SELECT f.* FROM fps f JOIN rare r ON f.fp = r.fp)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "pii_scrub": r"""
             SELECT doc_id,

@@ -66,6 +66,7 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         repetition_stats,
         simhash_near_dup,
         token_stats,
+        winnow_near_dup,
     )
     from kgspark.fixtures import pages_df
     from kgspark.pipeline import build_kg_frames
@@ -339,6 +340,7 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         repetition_stats(docs).count()
         ngram_contamination(docs).count()
         pii_scrub(docs).count()
+        winnow_near_dup(docs).count()
 
     timed("corpus_filters", corpus_filters)
 

@@ -1163,3 +1163,86 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         *counts,
         F.md5(scrubbed).alias("scrubbed_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document sketch; JVM-side)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS sketch): rolling hash over the document's
+    word k-gram sequence, keep the minimum hash of every w-window,
+    dedup. Guarantees any shared word run of length >= k + w - 1
+    contributes a shared fingerprint — the property MinHash sampling
+    does NOT give (MinHash approximates set overlap; winnowing
+    *detects* contiguous matches).
+
+    The gram hash is the engine-portable md5/15-hex-char 64-bit
+    construction shared with hash_bucket and the MinHash md5 mode, so
+    the DuckDB oracle reproduces fingerprints bit-for-bit. Entirely
+    per-row JVM array math (transform + array_min over slices) — no
+    shuffle, no Python. Docs shorter than k words emit nothing (both
+    engines filter identically).
+    """
+    words = F.split(norm_text(F.col("text")), " ")
+    gram_hash = (
+        f"transform(sequence(1, size(words) - {k} + 1),"
+        f" i -> conv(substring(md5(concat_ws(' ', slice(words, i, {k}))),"
+        " 1, 15), 16, 10))"
+    )
+    expr = (
+        "array_distinct(transform("
+        f"sequence(1, greatest(size(hashes) - {w} + 1, 1)),"
+        f" i -> array_min(slice(hashes, i, {w}))))"
+    )
+    return (
+        documents.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= k)
+        .select("doc_id", F.expr(gram_hash).cast("array<long>").alias("hashes"))
+        .select("doc_id", F.explode(F.expr(expr)).alias("fp"))
+    )
+
+
+def winnow_near_dup(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints — the
+    contiguous-match complement to MinHash: pairs are generated by a
+    bucket join on the fingerprint value, never all-pairs.
+
+    max_df drops fingerprints occurring in more than that many
+    documents before pairing (boilerplate k-grams — the analog of
+    stopword removal). This bounds every bucket at max_df docs, so the
+    worst-case pair fan-out per fingerprint is max_df^2/2 regardless
+    of corpus size — the property that keeps the join safe at 100 TB.
+    """
+    fps = winnow_fingerprints(documents, k=k, w=w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -525,3 +525,40 @@ def test_percentile_approx_tracks_exact(spark):
     a = {r["event_type"]: r["p"] for r in approx.collect()}
     for k in e:
         assert abs(a[k] - e[k]) / max(abs(e[k]), 1e-9) < 0.05
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: any shared run of >= k + w - 1 = 6 words
+    # yields at least one shared fingerprint
+    run = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [
+            (0, "unique prefix one " + run + " tail a", "en"),
+            (1, "other start words " + run + " ending b", "en"),
+            (2, "totally unrelated content with different words entirely", "en"),
+        ],
+        DOCS_DDL,
+    )
+    pairs = dataops.winnow_near_dup(d, min_shared=1, max_df=8).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    boiler = "all rights reserved copyright notice footer text"
+    rows = [(i, f"page {i} body content item{i} " + boiler, "en") for i in range(10)]
+    rows.append((100, "genuine duplicate sentence shared by just two docs here", "en"))
+    rows.append((101, "genuine duplicate sentence shared by just two docs here", "en"))
+    d = spark.createDataFrame(rows, DOCS_DDL)
+    pairs = dataops.winnow_near_dup(d, min_shared=1, max_df=4).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (100, 101) in got
+    # boilerplate fingerprints occur in 10 docs > max_df -> cut; the
+    # numbered pages share nothing else
+    assert all(p == (100, 101) for p in got)
+
+
+def test_winnow_short_doc_emits_nothing(spark):
+    d = spark.createDataFrame([(0, "two words", "en"), (1, "", "en")], DOCS_DDL)
+    assert dataops.winnow_fingerprints(d).count() == 0
