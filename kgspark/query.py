@@ -581,6 +581,9 @@ def graphrag_search(
     fuzziness: int = 0,
     keyword_model: str = "tf",
     kg_nodes: DataFrame | None = None,
+    hybrid: bool = True,
+    vector_weight: float = VECTOR_WEIGHT,
+    keyword_weight: float = KEYWORD_WEIGHT,
 ) -> dict[str, DataFrame]:
     """End-to-end GraphRAG retrieval analog, no LLM (reference
     graphrag.search, src/builders/graphrag.py:58-98):
@@ -600,7 +603,12 @@ def graphrag_search(
 
     qvec = embed_text(query_text, embed_dim)
     vec_hits = vector_topk(embeddings, qvec, k=top_k * 2)
-    if inverted_index is not None and keyword_model == "bm25":
+    if not hybrid:
+        # reference use_hybrid_search=False: vector + graph only
+        # (cli/main.py:130,184) — fuse against an empty keyword side so
+        # scores stay on the same normalized scale
+        kw_hits = vec_hits.limit(0)
+    elif inverted_index is not None and keyword_model == "bm25":
         # opt-in (default "tf" preserves reference score parity):
         # df/length-normalized relevance like ES best_fields
         kw_hits = keyword_scores_bm25(inverted_index, query_text, k=top_k * 2)
@@ -612,7 +620,10 @@ def graphrag_search(
         kw_hits = keyword_scores_from_index(inverted_index, query_text, k=top_k * 2)
     else:
         kw_hits = keyword_scores(chunks, query_text, k=top_k * 2)
-    hits = fuse(vec_hits, kw_hits, k=top_k)
+    hits = fuse(
+        vec_hits, kw_hits, k=top_k,
+        vector_weight=vector_weight, keyword_weight=keyword_weight,
+    )
     hit_ids = [r["chunk_id"] for r in hits.select("chunk_id").collect()]
     entities = entities_from_chunks(
         mentions, hit_ids, max_depth=max_depth, kg_nodes=kg_nodes
@@ -635,6 +646,9 @@ def graphrag_search_cached(
     kg_nodes: DataFrame | None = None,
     ttl_seconds: float = 3600.0,
     corpus_id: str | None = None,
+    hybrid: bool = True,
+    vector_weight: float = VECTOR_WEIGHT,
+    keyword_weight: float = KEYWORD_WEIGHT,
 ) -> dict:
     """Query-result cache over graphrag_search — the reference caches
     search results for 1 h keyed on sha256(query+params)
@@ -669,6 +683,9 @@ def graphrag_search_cached(
                 "fuzziness": fuzziness,
                 "keyword_model": keyword_model,
                 "corpus": corpus_id,
+                "hybrid": hybrid,
+                "vw": vector_weight,
+                "kw": keyword_weight,
             },
             sort_keys=True,
         ).encode()
@@ -689,6 +706,8 @@ def graphrag_search_cached(
         top_k=top_k, max_depth=max_depth, embed_dim=embed_dim,
         inverted_index=inverted_index, fuzziness=fuzziness,
         keyword_model=keyword_model, kg_nodes=kg_nodes,
+        hybrid=hybrid, vector_weight=vector_weight,
+        keyword_weight=keyword_weight,
     )
     hs = io.commit(
         "_qcache_hits", out["hits"], input_snapshot=key, metadata={"ts": now}

@@ -353,3 +353,31 @@ def test_graphrag_search_end_to_end(spark):
         "court contract agreement", top_k=5,
     )
     assert sorted(map(tuple, hits)) == sorted(map(tuple, out2["hits"].collect()))
+
+
+def test_graphrag_search_no_hybrid_and_weights(spark):
+    """Reference use_hybrid_search=False (vector+graph only) and custom
+    fusion weights through the search API (cli/main.py search flags)."""
+    from kgspark.fixtures import pages_df
+    from kgspark.pipeline import build_kg_frames
+    from kgspark.query import graphrag_search
+
+    frames = build_kg_frames(spark, pages_df(spark, 60), link_mode="exact")
+    args = (frames["chunks"], frames["embeddings"], frames["mentions"],
+            "court contract agreement")
+    out = graphrag_search(*args, top_k=5, hybrid=False)
+    hits = out["hits"].collect()
+    assert 0 < len(hits) <= 5
+    for r in hits:
+        assert r["keyword_score"] == 0.0       # keyword side empty
+        assert r["combined_score"] == pytest.approx(
+            0.7 * r["vector_score"], abs=1e-9
+        )
+    # custom weights flow through to fusion
+    w = graphrag_search(
+        *args, top_k=5, vector_weight=0.5, keyword_weight=0.5
+    )["hits"].collect()
+    for r in w:
+        assert r["combined_score"] == pytest.approx(
+            0.5 * r["vector_score"] + 0.5 * r["keyword_score"], abs=1e-9
+        )
