@@ -114,6 +114,33 @@ class TableIO:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         return spark.read.parquet(*paths)
 
+    def accumulated_snapshots(self, table: str) -> list[dict[str, Any]]:
+        """The snapshot entries that make up the table's accumulated
+        state: the latest full (non-append) snapshot plus every
+        append-mode snapshot committed after it. A table only ever
+        written by full commits accumulates to just its latest
+        snapshot; appends before a full rewrite are superseded by it."""
+        manifest = self._load_manifest(table)
+        active = [
+            s for s in manifest["snapshots"] if not s.get("expired")
+        ]
+        if not active:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        full_idx = [
+            i
+            for i, s in enumerate(active)
+            if s.get("metadata", {}).get("mode") != "append"
+        ]
+        start = full_idx[-1] if full_idx else 0
+        return active[start:]
+
+    def read_accumulated(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read the accumulated state of a table maintained by
+        incremental appends (Iceberg analog: the current snapshot of an
+        append-written table). See accumulated_snapshots."""
+        paths = [s["path"] for s in self.accumulated_snapshots(table)]
+        return spark.read.parquet(*paths)
+
     def current_snapshot(self, table: str) -> str | None:
         return self._load_manifest(table)["current"]
 

@@ -235,6 +235,132 @@ class Pipeline:
         self.last_skipped = skipped
         return snaps
 
+    # incremental upload -------------------------------------------------
+    DELTA_STAGES = STAGES[:5]   # docs..extracted: pure per-page maps
+    MERGE_STAGES = STAGES[5:]   # canonical, kg_nodes, kg_edges
+
+    def run_append(
+        self,
+        spark: SparkSession,
+        pages_delta: DataFrame,
+        delta_id: str,
+        run_id: str = "a0",
+    ) -> dict[str, str]:
+        """Incremental upload — reference parity: each CLI upload MERGEs
+        into the existing graph (Neo4j `MERGE` on name / edge identity,
+        kg_builder.py via neo4j_store.py:68-169) rather than replacing
+        it. Returns {table: snapshot_id}.
+
+        Shape: the map stages (S1-S4 + inverted index) process ONLY the
+        delta pages and commit append-mode snapshots; the merge stages
+        (S5-S7: linking, CC canonicalization, node dedup, edge
+        materialize) rebuild from the ACCUMULATED extraction deltas —
+        extraction output is orders of magnitude smaller than pages, so
+        appending to a 100 TB corpus costs O(delta) page scan plus
+        O(accumulated mentions) aggregation, never a re-read of old
+        pages. Re-uploaded urls are dropped by an anti-join against the
+        accumulated url set (exactly-once per url, the engine's page
+        identity invariant), so the result is bit-equivalent to one
+        batch run over the deduplicated union corpus (pytest
+        test_append_equals_batch_union).
+
+        Resume: every stage keys on its input snapshot ids exactly like
+        run(); re-running an already-committed delta skips everything.
+        """
+        snaps: dict[str, str] = {}
+        skipped: list[str] = []
+        pages_key = f"delta:{delta_id}"
+
+        existing = self.io.find_snapshot("pages", pages_key)
+        if existing is not None:
+            snaps["pages"] = existing
+            skipped.append("pages")
+        else:
+            try:
+                seen = (
+                    self.io.read_accumulated(spark, "pages")
+                    .select("url")
+                    .distinct()
+                )
+                fresh = pages_delta.join(seen, "url", "left_anti")
+            except FileNotFoundError:
+                fresh = pages_delta
+            snaps["pages"] = self.io.commit(
+                "pages", fresh, pages_key, metadata={"mode": "append"}
+            )
+
+        lineage_parts = []
+        for table, inputs in self.DELTA_STAGES:
+            input_key = ",".join(f"{t}:{snaps[t]}" for t in inputs)
+            existing = self.io.find_snapshot(table, input_key)
+            if existing is not None:
+                snaps[table] = existing
+                skipped.append(table)
+                continue
+            t0 = time.monotonic()
+            # _build reads each upstream table's CURRENT snapshot, which
+            # is exactly the delta committed just above
+            df = self._build(spark, table)
+            snaps[table] = self.io.commit(
+                table, df, input_key, metadata={"mode": "append"}
+            )
+            dur_ms = int((time.monotonic() - t0) * 1000)
+            lineage_parts.append(
+                _lineage_rows(
+                    self.io.read(spark, table, snaps[table]),
+                    table, run_id, input_key, dur_ms,
+                )
+            )
+
+        # merge stages: rebuilt (full commits) over the union of every
+        # extraction delta; keyed on that set of snapshot ids so an
+        # unchanged accumulation resumes and a new delta recomputes
+        acc_key = "acc:" + ",".join(
+            s["id"] for s in self.io.accumulated_snapshots("extracted")
+        )
+        extracted_all = self.io.read_accumulated(spark, "extracted")
+        mentions = stages.mentions_of(extracted_all)
+        merge_builders = {
+            "canonical": lambda: cc.connected_components(
+                mentions.select("name").distinct(),
+                linking.similarity_edges(mentions, mode=self.link_mode),
+            ),
+            "kg_nodes": lambda: stages.dedup_nodes(
+                mentions, self.io.read(spark, "canonical")
+            ),
+            "kg_edges": lambda: stages.materialize_edges(
+                stages.raw_edges_of(extracted_all),
+                self.io.read(spark, "kg_nodes"),
+                self.io.read(spark, "canonical"),
+                salt=self.salt,
+            ),
+        }
+        for table, _ in self.MERGE_STAGES:
+            existing = self.io.find_snapshot(table, acc_key)
+            if existing is not None:
+                snaps[table] = existing
+                skipped.append(table)
+                continue
+            t0 = time.monotonic()
+            snaps[table] = self.io.commit(
+                table, merge_builders[table](), acc_key
+            )
+            dur_ms = int((time.monotonic() - t0) * 1000)
+            lineage_parts.append(
+                _lineage_rows(
+                    self.io.read(spark, table, snaps[table]),
+                    table, run_id, acc_key, dur_ms,
+                )
+            )
+
+        if lineage_parts:
+            lineage = lineage_parts[0]
+            for part in lineage_parts[1:]:
+                lineage = lineage.unionByName(part)
+            self.io.commit("_lineage", lineage, run_id)
+        self.last_skipped = skipped
+        return snaps
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """The cumulative per-partition lineage log across every run:
         union of all `_lineage` snapshots (each run appends a delta)."""

@@ -92,3 +92,57 @@ def test_lineage_append_only_across_runs(spark, tmp_path):
     assert last == {"r2"}
     all_runs = {r["run_id"] for r in pipe.lineage(spark).collect()}
     assert all_runs == {"r1", "r2"}
+
+
+def test_append_equals_batch_union(spark, tmp_path):
+    """Incremental uploads (reference MERGE semantics) are bit-
+    equivalent to one batch run over the union corpus, re-uploaded
+    urls are dropped, and an unchanged accumulation resumes."""
+    full = pages_df(spark, 40)
+    delta_a = pages_df(spark, 20)
+    delta_b = full.join(delta_a.select("url"), "url", "left_anti")
+
+    wa = str(tmp_path / "wh_append")
+    pa = Pipeline(wa)
+    pa.run_append(spark, delta_a, "d1")
+    pa.run_append(spark, delta_b, "d2")
+
+    wb = str(tmp_path / "wh_batch")
+    pb = Pipeline(wb)
+    pb.run(spark, full, "pages:n=40:seed=42")
+
+    def triples(pipe):
+        return {
+            (r["subj"], r["pred"], r["obj"])
+            for r in pipe.io.read(spark, "kg_edges").collect()
+        }
+
+    def nodes(pipe):
+        return {
+            (r["name"], tuple(sorted(r["labels"])))
+            for r in pipe.io.read(spark, "kg_nodes").collect()
+        }
+
+    assert triples(pa) == triples(pb)
+    assert nodes(pa) == nodes(pb)
+    # accumulated chunks == batch chunks
+    acc_chunks = {
+        r["chunk_id"]
+        for r in pa.io.read_accumulated(spark, "chunks").collect()
+    }
+    batch_chunks = {
+        r["chunk_id"] for r in pb.io.read(spark, "chunks").collect()
+    }
+    assert acc_chunks == batch_chunks
+
+    before = triples(pa)
+    # re-uploading already-seen urls: delta dedups to empty, graph
+    # unchanged
+    pa.run_append(spark, delta_a, "d3")
+    assert triples(pa) == before
+    # idempotent re-run of a committed delta: everything resumes
+    pa.run_append(spark, delta_b, "d2")
+    assert set(pa.last_skipped) == {
+        "pages", "docs", "chunks", "embeddings", "inverted_index",
+        "extracted", "canonical", "kg_nodes", "kg_edges",
+    }

@@ -75,15 +75,21 @@ def cmd_upload(args) -> dict:
         chunk_size=args.chunk_size,
         chunk_overlap=args.chunk_overlap,
     )
-    snaps = pipe.run(spark, pages, corpus_id, run_id=args.run_id)
-    rd = lambda t: pipe.io.read(spark, t)  # noqa: E731
+    if args.append:
+        # reference MERGE semantics: this upload merges into the
+        # existing graph (delta map stages + merge-stage rebuild)
+        snaps = pipe.run_append(spark, pages, corpus_id, run_id=args.run_id)
+        rd = lambda t: pipe.io.read_accumulated(spark, t)  # noqa: E731
+    else:
+        snaps = pipe.run(spark, pages, corpus_id, run_id=args.run_id)
+        rd = lambda t: pipe.io.read(spark, t)  # noqa: E731
     # the reference's completion report: chunks / entities /
     # relationships created (cli/main.py:119-123)
     return {
         "status": "ok",
         "chunks_created": rd("chunks").count(),
-        "entities_extracted": rd("kg_nodes").count(),
-        "relationships_extracted": rd("kg_edges").count(),
+        "entities_extracted": pipe.io.read(spark, "kg_nodes").count(),
+        "relationships_extracted": pipe.io.read(spark, "kg_edges").count(),
         "snapshots": snaps,
         "resumed_stages": pipe.last_skipped,
         "warehouse": args.warehouse,
@@ -101,7 +107,9 @@ def cmd_search(args) -> dict:
 
     spark = _spark("kgctl-search")
     io = TableIO(args.warehouse)
-    rd = lambda t: io.read(spark, t)  # noqa: E731
+    # accumulated state: identical to read() on a batch-built warehouse,
+    # and the full union on an append-maintained one
+    rd = lambda t: io.read_accumulated(spark, t)  # noqa: E731
     chunks = rd("chunks")
     embeddings = rd("embeddings")
     mentions = mentions_of(rd("extracted"))
@@ -164,6 +172,10 @@ def main() -> None:
     up.add_argument("--chunk-overlap", type=int, default=100)
     up.add_argument("--link-mode", default="exact", choices=["exact", "lsh"])
     up.add_argument("--clear-existing", action="store_true")
+    up.add_argument("--append", action="store_true",
+                    help="merge this corpus into the existing graph "
+                         "(reference MERGE semantics); map stages "
+                         "process only the delta")
     up.add_argument("--corpus-id", default=None)
     up.add_argument("--run-id", default="r0")
     # accepted for reference-CLI compatibility; subsumed by Spark
