@@ -743,6 +743,43 @@ def _q_kg_lineage(spark, sf_dir):
     )
 
 
+def _q_kg_incremental(spark, sf_dir):
+    """Incremental ingest through the driver contract (rows-only:
+    snapshot machinery isn't SQL): two delta uploads via
+    Pipeline.run_append must land exactly the triples of one batch run
+    over the union corpus, with re-uploaded urls dropped. Returns one
+    row per stage table with its accumulated row count plus an
+    append-vs-batch triple-parity flag."""
+    from kgspark.fixtures import pages_df
+    from kgspark.pipeline import Pipeline
+
+    pa = Pipeline(_tmp_dir("inc_wh_a"), link_mode="exact")
+    full = pages_df(spark, 60)
+    delta_a = pages_df(spark, 30)
+    delta_b = full.join(delta_a.select("url"), "url", "left_anti")
+    pa.run_append(spark, delta_a, "d1")
+    pa.run_append(spark, delta_b, "d2")
+    # re-upload of already-seen urls must be a no-op
+    pa.run_append(spark, delta_a, "d3")
+
+    pb = Pipeline(_tmp_dir("inc_wh_b"), link_mode="exact")
+    pb.run(spark, full, corpus_id="pages:n=60:seed=42")
+
+    ta = pa.io.read(spark, "kg_edges").select("subj", "pred", "obj")
+    tb = pb.io.read(spark, "kg_edges").select("subj", "pred", "obj")
+    parity = (
+        ta.exceptAll(tb).isEmpty() and tb.exceptAll(ta).isEmpty()
+    )
+    rows = [
+        (t, pa.io.read_accumulated(spark, t).count())
+        for t in ("pages", "chunks", "extracted", "kg_nodes", "kg_edges")
+    ]
+    return spark.createDataFrame(
+        [(name, n, parity) for name, n in rows],
+        "table string, n_rows long, append_equals_batch boolean",
+    ).orderBy("table")
+
+
 def _q_streaming_triples(spark, sf_dir):
     """Structured-Streaming ingest (rows-only): drain a pages backlog
     through the streaming S1->S4 path with availableNow, return the
@@ -825,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lang_windows": _q_streaming_lang_windows,  # watermark
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,
+        "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest
     }
 
 
