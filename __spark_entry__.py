@@ -609,6 +609,39 @@ def _q_value_percentiles(spark, sf_dir):
     )
 
 
+def _q_asof_last_view(spark, sf_dir):
+    """Backward as-of join through the driver contract: enrich every
+    purchase event with the user's most recent view at-or-before it
+    (DuckDB verifies with its native ASOF LEFT JOIN). Views are
+    reduced to one per (user, ts) by max event_id first, so the match
+    is deterministic in both engines."""
+    from kgspark.dataops import asof_join, ts_micros
+
+    events = _read(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", ts="ts",
+        value_cols=["view_event_id", "view_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_micros(joined).alias("ts_us"),
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
 def _q_events_json_props(spark, sf_dir):
     """JSON functions through the driver contract: extract the numeric
     `k` property from the events' JSON props column and aggregate per
@@ -826,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_inactive_customers": _q_active_inactive_customers,
         "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
         "sessionize": _q_sessionize,
+        "asof_last_view": _q_asof_last_view,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
@@ -1451,6 +1485,24 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "asof_last_view": """
+            WITH views AS (
+              SELECT user_id, ts,
+                     max(event_id) AS view_event_id,
+                     max_by(value, event_id) AS view_value
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts
+            ),
+            purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   v.view_event_id, round(v.view_value, 6) AS view_value
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "sessionize": """
             WITH flags AS (

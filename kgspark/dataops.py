@@ -1246,3 +1246,91 @@ def winnow_near_dup(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (backward, inclusive) — native in DuckDB/kdb, composed here
+# ---------------------------------------------------------------------------
+
+def ts_micros(df: DataFrame, col: str = "ts"):
+    """Engine-portable epoch-microseconds of a timestamp column.
+    timestamp_ntz converts timezone-independently via timestampdiff
+    from the NTZ epoch (a session-tz cast would shift absolute values
+    off the oracle's naive-as-UTC epoch_us semantics)."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(col)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, the right
+    row with the greatest right.ts <= left.ts for the same key (the
+    standard event-enrichment / trades-to-quotes operator; DuckDB and
+    kdb have it natively as ASOF JOIN, Spark does not).
+
+    Expressed as the scalable union + window composition rather than a
+    range join: tag both sides, union, and carry the latest right-side
+    values forward with last(ignorenulls) over the key ordered by
+    (ts, side) — right rows sort before left rows at equal ts, which
+    is exactly the inclusive match. One exchange on the key and one
+    per-key sort (the same shuffle shape as any window op), no
+    range-condition join that Catalyst would turn into a broadcast
+    nested loop. Right-side (key, ts) duplicates should be reduced by
+    the caller first (e.g. max_by) — whichever survives is carried.
+
+    At 100 TB: partitions by the key; per-key cost is the sort. Skewed
+    hot keys behave like any window op (AQE cannot split a window
+    partition) — pre-bucket by time range if one key dominates.
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in (on, ts)
+        ]
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    tag = [F.col(c).alias(f"__r_{c}") for c in value_cols]
+    r = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias("__side"), *tag
+    )
+    left_cols = left.columns
+    l_nulls = [
+        F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
+        for c in value_cols
+    ]
+    lf = left.select(
+        *[F.col(c) for c in left_cols], F.lit(1).alias("__side"), *l_nulls
+    )
+    r_full = r.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            if c not in (on, ts)
+            else F.col(c)
+            for c in left_cols
+        ],
+        "__side",
+        *[f"__r_{c}" for c in value_cols],
+    )
+    unioned = lf.unionByName(r_full)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left_cols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

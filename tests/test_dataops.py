@@ -562,3 +562,36 @@ def test_winnow_max_df_drops_boilerplate(spark):
 def test_winnow_short_doc_emits_nothing(spark):
     d = spark.createDataFrame([(0, "two words", "en"), (1, "", "en")], DOCS_DDL)
     assert dataops.winnow_fingerprints(d).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    L = spark.createDataFrame(
+        [
+            (1, 7, datetime(2024, 1, 1, 10, 0, 0)),   # after r2
+            (2, 7, datetime(2024, 1, 1, 9, 0, 0)),    # ties r2 exactly
+            (3, 7, datetime(2024, 1, 1, 8, 0, 0)),    # only r1 before
+            (4, 7, datetime(2024, 1, 1, 6, 0, 0)),    # nothing before
+            (5, 8, datetime(2024, 1, 1, 12, 0, 0)),   # other key, no rights
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 1, 7, 0, 0), 100, 1.0),   # r1
+            (7, datetime(2024, 1, 1, 9, 0, 0), 200, 2.0),   # r2
+        ],
+        "user_id long, ts timestamp, rid long, rval double",
+    )
+    got = {
+        r["event_id"]: (r["rid"], r["rval"])
+        for r in dataops.asof_join(
+            L, R, on="user_id", ts="ts", value_cols=["rid", "rval"]
+        ).collect()
+    }
+    assert got[1] == (200, 2.0)      # latest at-or-before
+    assert got[2] == (200, 2.0)      # inclusive tie
+    assert got[3] == (100, 1.0)
+    assert got[4] == (None, None)    # no right row at-or-before
+    assert got[5] == (None, None)    # key with no right rows at all
