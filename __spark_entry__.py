@@ -642,6 +642,31 @@ def _q_asof_last_view(spark, sf_dir):
     )
 
 
+def _q_events_in_sessions(spark, sf_dir):
+    """Bucket-blocked range join through the driver contract: assign
+    every event to the session interval containing it (sessions from
+    the 10-min-gap sessionizer). The engine side never gives Catalyst
+    a raw range condition — intervals explode to overlapped hour
+    buckets and the join is an equi-join plus residual BETWEEN; the
+    oracle verifies with a plain inequality join."""
+    from kgspark.dataops import interval_join, sessionize, ts_micros
+
+    events = _read(spark, sf_dir, "events")
+    sessions = sessionize(events, gap_seconds=600)
+    pts = events.select(
+        "event_id", "user_id", ts_micros(events).alias("ts_us")
+    )
+    joined = interval_join(
+        pts, sessions, on="user_id", ts="ts_us",
+        start="session_start_us", end="session_end_us",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_events_json_props(spark, sf_dir):
     """JSON functions through the driver contract: extract the numeric
     `k` property from the events' JSON props column and aggregate per
@@ -860,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
         "sessionize": _q_sessionize,
         "asof_last_view": _q_asof_last_view,
+        "events_in_sessions": _q_events_in_sessions,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
@@ -1485,6 +1511,30 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "events_in_sessions": """
+            WITH flags AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     (sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+              FROM flags),
+            sessions AS (
+              SELECT user_id, session_idx, count(*) AS n_events,
+                     min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+              FROM sess GROUP BY user_id, session_idx)
+            SELECT e.event_id, e.user_id, s.session_idx, s.n_events
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND epoch_us(e.ts) BETWEEN s.s_us AND s.e_us
         """,
         "asof_last_view": """
             WITH views AS (

@@ -1334,3 +1334,39 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts_us",
+    start: str = "start_us",
+    end: str = "end_us",
+    bucket: int = 3_600_000_000,
+) -> DataFrame:
+    """Point-in-interval range join that never hands Catalyst a raw
+    range condition (which degrades to a broadcast-nested-loop /
+    cartesian check): each interval explodes to every time bucket it
+    overlaps, each point keys to its single bucket, and the join is an
+    EQUI-join on (key, bucket) with the BETWEEN as a residual filter.
+
+    Fan-out per interval is span/bucket + 1 rows — pick `bucket` near
+    the typical interval span (default 1 h in microseconds). At 100 TB
+    this is one hash join partitioned by (key, bucket); a hot key is
+    additionally spread across its time buckets, which is exactly the
+    salting a skewed pure-key join would need anyway.
+    """
+    b = F.lit(int(bucket))
+    ivals = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col(start) / b), F.floor(F.col(end) / b))
+        ).alias("__bucket"),
+    )
+    pts = points.withColumn("__bucket", F.floor(F.col(ts) / b))
+    return (
+        pts.join(ivals, [on, "__bucket"])
+        .filter(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("__bucket")
+    )

@@ -595,3 +595,29 @@ def test_asof_join_semantics(spark):
     assert got[3] == (100, 1.0)
     assert got[4] == (None, None)    # no right row at-or-before
     assert got[5] == (None, None)    # key with no right rows at all
+
+
+def test_interval_join_bucket_blocking(spark):
+    pts = spark.createDataFrame(
+        [(1, 7, 100), (2, 7, 5_000_000_000), (3, 7, 10), (4, 8, 100)],
+        "pid long, user_id long, ts_us long",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (7, 50, 200, "a"),                       # contains pid 1
+            (7, 4_000_000_000, 6_000_000_000, "b"),  # spans buckets; pid 2
+            (8, 0, 50, "c"),                         # other key; misses pid 4
+        ],
+        "user_id long, start_us long, end_us long, label string",
+    )
+    got = {
+        r["pid"]: r["label"]
+        for r in dataops.interval_join(
+            pts, ivals, bucket=1_000_000_000
+        ).collect()
+    }
+    assert got == {1: "a", 2: "b"}
+    # the physical plan must be an equi hash join, not a nested loop
+    plan = dataops.interval_join(pts, ivals, bucket=1_000_000_000)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
