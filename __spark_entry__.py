@@ -86,6 +86,25 @@ def _q_kg_top_connected(spark, sf_dir):
     return top_connected_entities(frames["kg_edges"], frames["kg_nodes"], k=10)
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    """Distributed PageRank over the constructed KG (rows-only:
+    iterative power iteration isn't SQL; pytest verifies against a
+    pure-Python reference to 1e-12 incl. dangling-mass handling).
+    Returns the top-10 entities by rank."""
+    from kgspark.cc import pagerank
+
+    frames = _kg_frames(spark, sf_dir)
+    edges = frames["kg_edges"].select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    pr = pagerank(edges, iterations=10)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(10)
+    )
+
+
 def _q_kg_triples(spark, sf_dir):
     frames = _kg_frames(spark, sf_dir)
     return frames["kg_edges"].select("subj", "pred", "obj").orderBy(
@@ -923,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,
         "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest
+        "kg_pagerank": _q_kg_pagerank,  # rows-only; 1e-12 pytest vs reference
     }
 
 

@@ -140,3 +140,48 @@ def test_100k_nodes_round_count_logarithmic(spark):
     assert stats["rounds"] <= 14, stats
     chain_label = comp.filter(F.col("name") == f"n{chain_n - 1:06d}").first()
     assert chain_label["canonical_id"] == "n000000"
+
+
+def _py_pagerank(edges, d=0.85, iters=10):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_ring_uniform(spark):
+    from kgspark.cc import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    for v in "abc":
+        assert got[v] == pytest.approx(1 / 3, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    from kgspark.cc import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]  # c dangles
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the hub pointed to by everything outranks its sources
+    assert got["c"] > got["b"] > got["d"]
