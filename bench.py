@@ -335,14 +335,56 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     timed("text_analysis", text_analysis)
 
     # new r3 segment (kept separate from text_analysis so that
-    # segment's r1/r2 timings stay comparable)
-    def corpus_filters():
-        repetition_stats(docs).count()
-        ngram_contamination(docs).count()
-        pii_scrub(docs).count()
-        winnow_near_dup(docs).count()
+    # segment's r1/r2 timings stay comparable; skipped under the
+    # scaling knob like every r3-new segment)
+    if not skip_extras:
+        def corpus_filters():
+            repetition_stats(docs).count()
+            ngram_contamination(docs).count()
+            pii_scrub(docs).count()
+            winnow_near_dup(docs).count()
 
-    timed("corpus_filters", corpus_filters)
+        timed("corpus_filters", corpus_filters)
+
+        def temporal_joins():
+            from kgspark.dataops import (  # noqa: PLC0415
+                asof_join, interval_join, sessionize, ts_micros,
+            )
+
+            ev = read("events")
+            views = (
+                ev.filter(F.col("event_type") == "view")
+                .groupBy("user_id", "ts")
+                .agg(F.max("event_id").alias("view_event_id"))
+            )
+            purchases = ev.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts"
+            )
+            asof_join(
+                purchases, views, value_cols=["view_event_id"]
+            ).count()
+            sessions = sessionize(ev, gap_seconds=600)
+            pts = ev.select(
+                "event_id", "user_id", ts_micros(ev).alias("ts_us")
+            )
+            interval_join(
+                pts, sessions, start="session_start_us",
+                end="session_end_us",
+            ).count()
+
+        timed("temporal_joins", temporal_joins)
+
+        def kg_analytics():
+            from kgspark.cc import pagerank  # noqa: PLC0415
+
+            pagerank(
+                frames["kg_edges"].select(
+                    F.col("subj").alias("src"), F.col("obj").alias("dst")
+                ),
+                iterations=10,
+            ).count()
+
+        timed("kg_analytics", kg_analytics)
 
     def relational():
         li = read("lineitem")
