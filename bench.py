@@ -27,6 +27,10 @@ oracle md5 and production xxhash64 modes + heavy-doc signature-kernel
 pair), ANN (brute force, inline IVF, materialized-IVF build/probe,
 production-dim vectorized assignment), embedding-LSH at production
 dims, fuzzy vocab build/query split, text analysis, relational.
+r3-new segments (all skipped under KGSPARK_BENCH_SKIP_EXTRAS so
+scaling runs time the r2-comparable list): corpus_filters
+(repetition / contamination / PII / winnow), temporal_joins
+(as-of + interval), kg_analytics (10-iteration PageRank).
 
 Scaling-efficiency evidence (BASELINE.md protocol) is produced by
 tools/bench_scaling.py which runs this same workload at two

@@ -160,9 +160,10 @@ def pagerank(
     Semantics: standard damped PageRank with dangling-mass
     redistribution — rank(v) = (1-d)/N + d*(sum of rank(u)/outdeg(u)
     over in-neighbours u + dangling_mass/N); ranks sum to 1 every
-    iteration. Fixed iteration count (deterministic output, no
-    convergence collect beyond the one scalar dangling sum per round,
-    which is a driver-side O(1) aggregate).
+    iteration. Fixed iteration count and zero per-round driver
+    actions: the scalar dangling mass stays in the plan as a
+    broadcast 1-row cross join, so each round is exactly one job (the
+    eager checkpoint).
 
     At 100 TB-scale graphs: the join shuffles on src and the agg on
     dst — the same two exchanges per round as any power iteration;
@@ -186,10 +187,8 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank", "outdeg")
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         contribs = (
             e.join(with_deg, e["src"] == with_deg["node"])
@@ -199,6 +198,7 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -206,7 +206,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("__dangling") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
