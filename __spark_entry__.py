@@ -686,6 +686,40 @@ def _q_events_in_sessions(spark, sf_dir):
     )
 
 
+def _q_orders_cube(spark, sf_dir):
+    """Full CUBE over (status, priority) — every grouping-set combo in
+    one pass (rollup's bigger sibling in the §2.2 checklist)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def _q_doc_length_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths (bucket = 100 chars,
+    clamped at 10 buckets) — one hash agg, the profiling primitive for
+    corpus length distributions."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / 100), F.lit(9)
+    ).cast("long")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
 def _q_events_json_props(spark, sf_dir):
     """JSON functions through the driver contract: extract the numeric
     `k` property from the events' JSON props column and aggregate per
@@ -905,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
+        "orders_cube": _q_orders_cube,
+        "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
@@ -1531,6 +1567,21 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "orders_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "doc_length_histogram": """
+            SELECT least(n_chars // 100, 9) AS bucket,
+                   count(*) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY 1
         """,
         "events_in_sessions": """
             WITH flags AS (
