@@ -686,6 +686,22 @@ def _q_events_in_sessions(spark, sf_dir):
     )
 
 
+def _q_batch_ann_topk(spark, sf_dir):
+    """Batched exact ANN: the first five embedding rows act as a query
+    batch; one broadcast cross-join pass returns each query's cosine
+    top-3 (corpus scanned once for the whole batch)."""
+    from kgspark.dataops import batch_ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = batch_ann(queries, emb, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def _q_orders_cube(spark, sf_dir):
     """Full CUBE over (status, priority) — every grouping-set combo in
     one pass (rollup's bigger sibling in the §2.2 checklist)."""
@@ -940,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
         "orders_cube": _q_orders_cube,
+        "batch_ann_topk": _q_batch_ann_topk,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
@@ -1045,6 +1062,27 @@ def _cos_sql(a: str, b: str, guard_b: bool = False) -> str:
     )
     nb_expr = f"CASE WHEN {nb} = 0 THEN 1.0 ELSE {nb} END" if guard_b else nb
     return f"CASE WHEN {na} > 0 THEN {dot} / ({na} * {nb_expr}) ELSE 0.0 END"
+
+
+def _pair_cos_sql(a: str, b: str) -> str:
+    """Cosine of two array columns with BOTH norms guarded to 0.0 —
+    mirrors kgspark.dataops.pair_cosine exactly."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform({b},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0"
+        f" THEN {dot} / ({na} * {nb}) ELSE 0.0 END"
+    )
 
 
 def _minhash_pairs_ctes(
@@ -1567,6 +1605,24 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "batch_ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     {_pair_cos_sql('q.qvec', 'e.embedding')} AS cos
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS score FROM (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id
+                     ) AS rn
+              FROM scored) t
+            WHERE rn <= 3
         """,
         "orders_cube": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -1370,3 +1370,41 @@ def interval_join(
         .filter(F.col(ts).between(F.col(start), F.col(end)))
         .drop("__bucket")
     )
+
+
+def batch_ann(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Batched exact top-k: one scored pass answers MANY query vectors
+    at once — the serving shape for offline retrieval jobs (embed a
+    batch of prompts, fetch neighbours for all of them in one Spark
+    job instead of one driver round-trip per query).
+
+    Shape: broadcast the (small) query table, cross join against the
+    corpus scan, score with the shared JVM cosine, keep per-query
+    top-k with a row_number window partitioned by query id. Corpus is
+    scanned ONCE regardless of query count; the only shuffle is the
+    per-query window (n_queries * k rows after the filter). For query
+    batches too large to broadcast, fall back to ivf_query per shard.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = embeddings.crossJoin(
+        F.broadcast(queries.select(query_id, query_vec))
+    ).select(
+        query_id,
+        "vec_id",
+        pair_cosine(F.col(query_vec), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -621,3 +621,25 @@ def test_interval_join_bucket_blocking(spark):
     plan = dataops.interval_join(pts, ivals, bucket=1_000_000_000)._jdf \
         .queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_batch_ann_matches_per_query_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (3, 40, 77)],
+        "query_id long, qvec array<float>",
+    )
+    got = {}
+    for r in dataops.batch_ann(queries, emb, k=4).collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid in (3, 40, 77):
+        brute = [
+            r["vec_id"]
+            for r in dataops.brute_force_ann(emb, rows[qid][1], 4).collect()
+        ]
+        assert got[qid] == brute
+        assert got[qid][0] == qid  # self is nearest
