@@ -702,6 +702,17 @@ def _q_batch_ann_topk(spark, sf_dir):
     )
 
 
+def _q_pack_docs(spark, sf_dir):
+    """Greedy next-fit sequence packing (training-batch shaping) via
+    applyInPandas over deterministic hash buckets — the oracle replays
+    the identical sequential fold as a recursive CTE."""
+    from kgspark.dataops import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), budget=2000, buckets=16
+    )
+
+
 def _q_orders_cube(spark, sf_dir):
     """Full CUBE over (status, priority) — every grouping-set combo in
     one pass (rollup's bigger sibling in the §2.2 checklist)."""
@@ -957,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_sessions": _q_events_in_sessions,
         "orders_cube": _q_orders_cube,
         "batch_ann_topk": _q_batch_ann_topk,
+        "pack_docs": _q_pack_docs,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
@@ -1605,6 +1617,33 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "pack_docs": """
+            WITH RECURSIVE b AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 16 AS bucket,
+                     CAST(n_chars AS BIGINT) AS cost
+              FROM documents),
+            d AS (
+              SELECT doc_id, bucket, cost,
+                     row_number() OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                     ) AS pos
+              FROM b),
+            steps AS (
+              SELECT bucket, pos, doc_id, cost,
+                     CAST(0 AS BIGINT) AS bin_idx, cost AS bin_fill
+              FROM d WHERE pos = 1
+              UNION ALL
+              SELECT d.bucket, d.pos, d.doc_id, d.cost,
+                     CASE WHEN s.bin_fill + d.cost > 2000
+                          THEN s.bin_idx + 1 ELSE s.bin_idx END,
+                     CASE WHEN s.bin_fill + d.cost > 2000
+                          THEN d.cost ELSE s.bin_fill + d.cost END
+              FROM steps s JOIN d
+                ON d.bucket = s.bucket AND d.pos = s.pos + 1)
+            SELECT doc_id, bucket, cost, bin_idx, bin_fill FROM steps
         """,
         "batch_ann_topk": f"""
             WITH q AS (

@@ -1408,3 +1408,50 @@ def batch_ann(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2000,
+    buckets: int = 64,
+    cost_col: str = "n_chars",
+) -> DataFrame:
+    """Greedy next-fit sequence packing — the training-batch shaping
+    op: assign documents to bins so no bin exceeds `budget` cost
+    (except a single oversized document, which gets a bin alone).
+
+    Packing is inherently sequential, so it is distributed the
+    standard way: documents hash-bucket deterministically (same
+    md5 construction as stratified_sample, so membership is stable
+    across runs and engines), and the sequential fold runs per bucket
+    inside one applyInPandas group in doc_id order. Bin identity is
+    (bucket, bin_idx) — globally unique, deterministic under any
+    partitioning. One shuffle (the groupBy), O(docs/buckets) rows per
+    group; at 100 TB raise `buckets` so groups stay executor-sized.
+    """
+    schema = (
+        "doc_id long, bucket long, cost long, bin_idx long, bin_fill long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_idx, fill = 0, 0
+        for c in pdf["cost"]:
+            c = int(c)
+            if fill > 0 and fill + c > budget:
+                bin_idx += 1
+                fill = 0
+            fill += c
+            bins.append(bin_idx)
+            fills.append(fill)
+        pdf["bin_idx"] = bins
+        pdf["bin_fill"] = fills
+        return pdf[["doc_id", "bucket", "cost", "bin_idx", "bin_fill"]]
+
+    prepared = documents.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), buckets).cast("long").alias("bucket"),
+        F.col(cost_col).cast("long").alias("cost"),
+    )
+    return prepared.groupBy("bucket").applyInPandas(pack, schema)

@@ -643,3 +643,32 @@ def test_batch_ann_matches_per_query_brute_force(spark):
         ]
         assert got[qid] == brute
         assert got[qid][0] == qid  # self is nearest
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "x" * ((i * 37) % 900 + 50), "en") for i in range(60)]
+    rows.append((100, "y" * 5000, "en"))  # oversized: bin of its own
+    d = spark.createDataFrame(rows, DOCS_DDL).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = dataops.pack_sequences(d, budget=1000, buckets=4).collect()
+    assert len(out) == 61                       # every doc assigned once
+    assert len({r["doc_id"] for r in out}) == 61
+    fills = {}
+    for r in out:
+        fills.setdefault((r["bucket"], r["bin_idx"]), 0)
+        fills[(r["bucket"], r["bin_idx"])] += r["cost"]
+    for (b, i), total in fills.items():
+        members = [
+            r for r in out if r["bucket"] == b and r["bin_idx"] == i
+        ]
+        # budget respected unless the bin is a single oversized doc
+        assert total <= 1000 or (
+            len(members) == 1 and members[0]["cost"] > 1000
+        )
+    # deterministic under different input partitioning
+    out2 = dataops.pack_sequences(
+        d.repartition(13), budget=1000, buckets=4
+    ).collect()
+    key = lambda r: (r["doc_id"], r["bucket"], r["bin_idx"], r["bin_fill"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
