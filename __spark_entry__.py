@@ -702,6 +702,28 @@ def _q_batch_ann_topk(spark, sf_dir):
     )
 
 
+def _q_quantized_embeddings(spark, sf_dir):
+    """Int8 scalar quantization reduced to per-vector scalars (scale,
+    code sum/min/max, saturation count) — array output stays out of
+    the driver canonicalizer; the recall/error-bound checks live in
+    pytest."""
+    from kgspark.dataops import quantize_embeddings
+
+    q = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    codes = F.transform(F.col("qvec"), lambda c: c.cast("long"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c)
+        .alias("q_sum"),
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.size(F.filter(codes, lambda c: F.abs(c) == 127))
+        .cast("long")
+        .alias("n_sat"),
+    )
+
+
 def _q_pack_docs(spark, sf_dir):
     """Greedy next-fit sequence packing (training-batch shaping) via
     applyInPandas over deterministic hash buckets — the oracle replays
@@ -969,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _q_orders_cube,
         "batch_ann_topk": _q_batch_ann_topk,
         "pack_docs": _q_pack_docs,
+        "quantized_embeddings": _q_quantized_embeddings,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
@@ -1617,6 +1640,29 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "quantized_embeddings": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, scale,
+                     list_transform(embedding,
+                       x -> CASE WHEN scale > 0 THEN
+                              greatest(-127, least(127,
+                                CAST(round(CAST(x AS DOUBLE) / scale)
+                                     AS BIGINT)))
+                            ELSE 0 END) AS codes
+              FROM s)
+            SELECT vec_id, round(scale, 9) AS scale,
+                   CAST(list_sum(codes) AS BIGINT) AS q_sum,
+                   CAST(list_min(codes) AS BIGINT) AS q_min,
+                   CAST(list_max(codes) AS BIGINT) AS q_max,
+                   CAST(len(list_filter(codes, c -> abs(c) = 127))
+                        AS BIGINT) AS n_sat
+            FROM q
         """,
         "pack_docs": """
             WITH RECURSIVE b AS (

@@ -1455,3 +1455,57 @@ def pack_sequences(
         F.col(cost_col).cast("long").alias("cost"),
     )
     return prepared.groupBy("bucket").applyInPandas(pack, schema)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (int8 scalar; 4x memory cut for vector stores)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector: scale =
+    max(|x|)/127, q_i = round(x_i/scale) clamped to [-127, 127] — the
+    standard 4x memory cut for a 100 TB vector store (a dim-768
+    float32 corpus drops from ~3 KB to ~0.77 KB per row, and int8
+    dot products SIMD-vectorize). Zero vectors keep scale 0 and an
+    all-zero code. Pure JVM array math, one narrow scan.
+
+    Recall impact is bounded (|dequant - x| <= scale/2 per element);
+    tests assert top-10 ANN recall >= 0.9 against the float path.
+    """
+    x = F.col("embedding")
+    scale = F.aggregate(
+        x, F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    ) / F.lit(127.0)
+    with_scale = embeddings.select("vec_id", x, scale.alias("scale"))
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                x,
+                lambda v: F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.round(v.cast("double") / F.col("scale"))
+                        .cast("int"),
+                    ),
+                ).cast("byte"),
+            ),
+        ).otherwise(
+            F.transform(x, lambda v: F.lit(0).cast("byte"))
+        ).alias("qvec"),
+    )
+
+
+def dequantize(quantized: DataFrame) -> DataFrame:
+    """Inverse of quantize_embeddings: float array = q_i * scale."""
+    return quantized.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"),
+            lambda q: (q.cast("double") * F.col("scale")).cast("float"),
+        ).alias("embedding"),
+    )

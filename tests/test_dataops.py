@@ -672,3 +672,39 @@ def test_pack_sequences_invariants(spark):
     ).collect()
     key = lambda r: (r["doc_id"], r["bucket"], r["bin_idx"], r["bin_fill"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_quantize_embeddings_bound_and_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = dataops.quantize_embeddings(emb)
+    dq = dataops.dequantize(q)
+    # error bound: |dequant - x| <= scale/2 per element
+    j = (
+        emb.join(dq.withColumnRenamed("embedding", "demb"), "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+    )
+    worst = j.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "demb",
+                    lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            / F.col("scale")
+        ).alias("m")
+    ).first()["m"]
+    assert worst <= 0.5 + 1e-9
+    # ANN over dequantized codes keeps top-10 recall
+    qv = [float(x) for x in emb.first()["embedding"]]
+    exact = {r["vec_id"] for r in dataops.brute_force_ann(emb, qv, 10).collect()}
+    approx = {r["vec_id"] for r in dataops.brute_force_ann(dq, qv, 10).collect()}
+    assert len(exact & approx) >= 9
+    # zero vector -> scale 0, all-zero code
+    z = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    zq = dataops.quantize_embeddings(z).collect()[0]
+    assert zq["scale"] == 0.0 and set(zq["qvec"]) == {0}
