@@ -702,6 +702,21 @@ def _q_batch_ann_topk(spark, sf_dir):
     )
 
 
+def _q_nfc_fingerprints(spark, sf_dir):
+    """Unicode NFC canonicalization before fingerprinting (web text
+    mixes composed/decomposed forms, silently defeating hash dedup) —
+    pandas-UDF normalize, md5 of the canonical text, changed flag.
+    DuckDB verifies with its native nfc_normalize."""
+    from kgspark.dataops import nfc_normalize
+
+    out = nfc_normalize(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5("text_nfc").alias("nfc_fingerprint"),
+        "changed",
+    )
+
+
 def _q_quantized_embeddings(spark, sf_dir):
     """Int8 scalar quantization reduced to per-vector scalars (scale,
     code sum/min/max, saturation count) — array output stays out of
@@ -992,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_ann_topk": _q_batch_ann_topk,
         "pack_docs": _q_pack_docs,
         "quantized_embeddings": _q_quantized_embeddings,
+        "nfc_fingerprints": _q_nfc_fingerprints,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
         # training-data ops (SQL-checked unless noted)
@@ -1640,6 +1656,12 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated_frac,
                    n_contaminated > 0 AS is_contaminated
             FROM hits
+        """,
+        "nfc_fingerprints": """
+            SELECT doc_id,
+                   md5(nfc_normalize(text)) AS nfc_fingerprint,
+                   text <> nfc_normalize(text) AS changed
+            FROM documents
         """,
         "quantized_embeddings": """
             WITH s AS (

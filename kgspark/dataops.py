@@ -1509,3 +1509,31 @@ def dequantize(quantized: DataFrame) -> DataFrame:
             lambda q: (q.cast("double") * F.col("scale")).cast("float"),
         ).alias("embedding"),
     )
+
+
+def nfc_normalize(documents: DataFrame) -> DataFrame:
+    """Unicode NFC normalization — real web text mixes composed and
+    decomposed forms (e + U+0301 vs é), which silently defeats
+    hash-based dedup and fingerprinting; canonicalize before either.
+    Spark has no built-in normalizer, so this is a vectorized pandas
+    UDF (Arrow batches, pandas str engine — not per-row Python
+    semantics at the plan level). Emits the normalized text plus a
+    changed flag.
+    """
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata  # noqa: PLC0415
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return documents.select(
+        "doc_id",
+        nfc(F.col("text")).alias("text_nfc"),
+        "text",
+    ).select(
+        "doc_id",
+        "text_nfc",
+        (F.col("text") != F.col("text_nfc")).alias("changed"),
+    )

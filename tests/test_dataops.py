@@ -708,3 +708,24 @@ def test_quantize_embeddings_bound_and_recall(spark):
     )
     zq = dataops.quantize_embeddings(z).collect()[0]
     assert zq["scale"] == 0.0 and set(zq["qvec"]) == {0}
+
+
+def test_nfc_normalize_composes(spark):
+    decomposed = "caf" + "e" + "́"       # e + combining acute
+    composed = "café"
+    d = spark.createDataFrame(
+        [(0, decomposed, "fr"), (1, composed, "fr"), (2, "plain", "en")],
+        DOCS_DDL,
+    )
+    got = {r["doc_id"]: r for r in dataops.nfc_normalize(d).collect()}
+    assert got[0]["text_nfc"] == composed and got[0]["changed"] is True
+    assert got[1]["text_nfc"] == composed and got[1]["changed"] is False
+    assert got[2]["changed"] is False
+    # dedup now sees the two forms as identical
+    merged = dataops.exact_dedup(
+        dataops.nfc_normalize(d).select(
+            "doc_id", F.col("text_nfc").alias("text")
+        )
+    ).collect()
+    by_keep = {r["keep_doc_id"]: r["n_copies"] for r in merged}
+    assert by_keep[0] == 2
