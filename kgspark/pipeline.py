@@ -148,18 +148,29 @@ class Pipeline:
         self.embed_dim = embed_dim
 
     # stage builders -------------------------------------------------------
+    def _map_stage_builder(self, table):
+        """Per-page map stages as upstream-DataFrame -> DataFrame fns
+        (shared by the batch and incremental paths)."""
+        if table == "docs":
+            return stages.extract_text
+        if table == "chunks":
+            return lambda docs: stages.chunk(
+                docs, self.chunk_size, self.chunk_overlap
+            )
+        if table == "embeddings":
+            return lambda chunks: stages.embed(chunks, self.embed_dim)
+        if table == "inverted_index":
+            return build_inverted_index
+        if table == "extracted":
+            return stages.extract
+        raise KeyError(table)
+
     def _build(self, spark: SparkSession, table: str) -> DataFrame:
         rd = lambda t: self.io.read(spark, t)  # noqa: E731
-        if table == "docs":
-            return stages.extract_text(rd("pages"))
-        if table == "chunks":
-            return stages.chunk(rd("docs"), self.chunk_size, self.chunk_overlap)
-        if table == "embeddings":
-            return stages.embed(rd("chunks"), self.embed_dim)
-        if table == "inverted_index":
-            return build_inverted_index(rd("chunks"))
-        if table == "extracted":
-            return stages.extract(rd("chunks"))
+        if table in ("docs", "chunks", "embeddings", "inverted_index",
+                     "extracted"):
+            upstream = dict(self.STAGES)[table][0]
+            return self._map_stage_builder(table)(rd(upstream))
         if table == "canonical":
             mentions = stages.mentions_of(rd("extracted"))
             sim = linking.similarity_edges(mentions, mode=self.link_mode)
@@ -239,6 +250,23 @@ class Pipeline:
     DELTA_STAGES = STAGES[:5]   # docs..extracted: pure per-page maps
     MERGE_STAGES = STAGES[5:]   # canonical, kg_nodes, kg_edges
 
+    def _unconsumed(self, table: str, upstream: str) -> list[dict]:
+        """Accumulated `upstream` snapshot entries not yet consumed by
+        any committed snapshot of `table` — consumption is recorded in
+        each commit's input key ("<upstream>:<snapshot_id>" parts)."""
+        try:
+            ups = self.io.accumulated_snapshots(upstream)
+        except FileNotFoundError:
+            return []
+        consumed: set[str] = set()
+        for s in self.io._load_manifest(table).get("snapshots", []):
+            for part in (s.get("input_snapshot") or "").split(","):
+                if ":" in part:
+                    t, sid = part.split(":", 1)
+                    if t == upstream:
+                        consumed.add(sid)
+        return [s for s in ups if s["id"] not in consumed]
+
     def run_append(
         self,
         spark: SparkSession,
@@ -266,41 +294,54 @@ class Pipeline:
 
         Resume: every stage keys on its input snapshot ids exactly like
         run(); re-running an already-committed delta skips everything.
+        Pass pages_delta=None to map-and-merge pages snapshots that
+        were committed directly (e.g. by the streaming warehouse sink)
+        without going through the map stages yet.
         """
         snaps: dict[str, str] = {}
         skipped: list[str] = []
-        pages_key = f"delta:{delta_id}"
 
-        existing = self.io.find_snapshot("pages", pages_key)
-        if existing is not None:
-            snaps["pages"] = existing
-            skipped.append("pages")
-        else:
-            try:
-                seen = (
-                    self.io.read_accumulated(spark, "pages")
-                    .select("url")
-                    .distinct()
+        if pages_delta is not None:
+            pages_key = f"delta:{delta_id}"
+            existing = self.io.find_snapshot("pages", pages_key)
+            if existing is not None:
+                snaps["pages"] = existing
+                skipped.append("pages")
+            else:
+                try:
+                    seen = (
+                        self.io.read_accumulated(spark, "pages")
+                        .select("url")
+                        .distinct()
+                    )
+                    fresh = pages_delta.join(seen, "url", "left_anti")
+                except FileNotFoundError:
+                    fresh = pages_delta
+                snaps["pages"] = self.io.commit(
+                    "pages", fresh, pages_key, metadata={"mode": "append"}
                 )
-                fresh = pages_delta.join(seen, "url", "left_anti")
-            except FileNotFoundError:
-                fresh = pages_delta
-            snaps["pages"] = self.io.commit(
-                "pages", fresh, pages_key, metadata={"mode": "append"}
-            )
 
         lineage_parts = []
+        # each map stage processes every accumulated upstream snapshot
+        # it has not consumed yet (consumption is recorded in commit
+        # input keys) — this covers both the delta committed above AND
+        # snapshots appended by other writers (streaming sink, prior
+        # partial runs)
         for table, inputs in self.DELTA_STAGES:
-            input_key = ",".join(f"{t}:{snaps[t]}" for t in inputs)
+            upstream = inputs[0]
+            pending = self._unconsumed(table, upstream)
+            if not pending:
+                skipped.append(table)
+                continue
+            input_key = ",".join(f"{upstream}:{p['id']}" for p in pending)
             existing = self.io.find_snapshot(table, input_key)
             if existing is not None:
                 snaps[table] = existing
                 skipped.append(table)
                 continue
             t0 = time.monotonic()
-            # _build reads each upstream table's CURRENT snapshot, which
-            # is exactly the delta committed just above
-            df = self._build(spark, table)
+            delta_df = spark.read.parquet(*[p["path"] for p in pending])
+            df = self._map_stage_builder(table)(delta_df)
             snaps[table] = self.io.commit(
                 table, df, input_key, metadata={"mode": "append"}
             )

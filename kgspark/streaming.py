@@ -206,3 +206,46 @@ def run_to_memory(
     )
     query.awaitTermination()
     return query
+
+
+def stream_pages_to_warehouse(
+    spark: SparkSession,
+    landing_dir: str,
+    io,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> list[str]:
+    """Streaming ingest INTO the snapshot warehouse: each micro-batch
+    of landing pages commits one append-mode TableIO snapshot keyed on
+    its batch id — the foreachBatch + idempotent-commit pattern that
+    gives exactly-once table appends on top of at-least-once batch
+    replay (Iceberg analog: streaming write with commit dedup by
+    checkpointed batch id; Structured Streaming replays a batch after
+    a crash, `find_snapshot` sees the batch key already committed and
+    skips). The periodic `Pipeline.run_append` merge then folds the
+    accumulated pages into the graph.
+
+    Runs with availableNow (drain the backlog, then stop); returns the
+    committed snapshot ids in batch order.
+    """
+    committed: list[str] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"stream-batch:{batch_id}"
+        existing = io.find_snapshot("pages", key)
+        if existing is not None:       # replayed batch: already durable
+            committed.append(existing)
+            return
+        committed.append(
+            io.commit("pages", batch_df, key, metadata={"mode": "append"})
+        )
+
+    q = (
+        stream_pages(spark, landing_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return committed

@@ -229,3 +229,41 @@ def test_keyword_index_matches_direct(spark):
     a = sorted(map(tuple, keyword_scores(chunks, q, k=10).collect()))
     b = sorted(map(tuple, keyword_scores_from_index(idx, q, k=10).collect()))
     assert a == b
+
+
+def test_stream_to_warehouse_exactly_once(spark, landing, tmp_path):
+    """foreachBatch + idempotent batch-keyed commits: streamed pages
+    land as append-mode snapshots, replays do not double-commit, and
+    the accumulated table equals the landing contents; a follow-up
+    Pipeline.run_append merges them into the graph."""
+    from kgspark.io import TableIO
+    from kgspark.pipeline import Pipeline
+
+    wh = str(tmp_path / "stream_wh")
+    io = TableIO(wh)
+    snaps = streaming.stream_pages_to_warehouse(
+        spark, landing, io, str(tmp_path / "ckpt_wh")
+    )
+    assert len(snaps) >= 1
+    acc = io.read_accumulated(spark, "pages")
+    batch_pages = spark.read.parquet(landing)
+    assert acc.count() == batch_pages.count()
+    assert acc.select("url").subtract(batch_pages.select("url")).count() == 0
+
+    # simulate a replayed micro-batch: same batch id must not re-commit
+    n_before = len(io._load_manifest("pages")["snapshots"])
+    replay = streaming.stream_pages_to_warehouse(
+        spark, landing, io, str(tmp_path / "ckpt_wh")
+    )
+    # availableNow with the same checkpoint sees no new files -> no
+    # commits; manifest unchanged
+    assert len(io._load_manifest("pages")["snapshots"]) == n_before
+
+    # the merge run folds the streamed pages into the graph:
+    # pages_delta=None maps every pages snapshot not yet consumed by
+    # the docs stage (i.e. the streamed batches), then rebuilds the
+    # merge stages
+    pipe = Pipeline(wh)
+    pipe.run_append(spark, None, "post-stream-merge")
+    triples = pipe.io.read(spark, "kg_edges")
+    assert triples.count() > 0
