@@ -1073,6 +1073,7 @@ def ngram_contamination(
     eval_docs: DataFrame | None = None,
     n: int = 8,
     eval_mod: int = 97,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap: flag every training
     document that shares at least one n-word shingle with the held-out
@@ -1081,12 +1082,12 @@ def ngram_contamination(
     contaminated fraction, and the drop flag.
 
     Shape: distinct shingles per side (reuses word_shingles, which is
-    already per-doc distinct), then a broadcast left join keyed on the
-    shingle and one hash agg. At 100 TB the eval side is a benchmark
-    suite — MBs, not TBs — so the broadcast removes the shuffle
-    entirely; if a caller passes an eval set too big to broadcast,
-    dropping the hint degrades gracefully to a shuffled hash join on
-    the shingle key (still never all-pairs).
+    already per-doc distinct), then a left join keyed on the shingle
+    and one hash agg. At 100 TB the eval side is a benchmark suite —
+    MBs, not TBs — so the default broadcast hint removes the shuffle
+    entirely; pass broadcast_eval=False for an eval set too big to
+    broadcast and the join runs as a shuffled hash join on the
+    shingle key (still never all-pairs).
     """
     if eval_docs is None:
         eval_docs = documents.filter((F.col("doc_id") % eval_mod) == 0)
@@ -1094,10 +1095,13 @@ def ngram_contamination(
     else:
         train_docs = documents
     eval_sh = word_shingles(eval_docs, n=n).select("shingle").distinct()
+    eval_sh = eval_sh.withColumn("__hit", F.lit(1))
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
     train_sh = word_shingles(train_docs, n=n)
     hits = (
         train_sh.join(
-            F.broadcast(eval_sh.withColumn("__hit", F.lit(1))),
+            eval_sh,
             "shingle",
             "left",
         )
@@ -1297,17 +1301,20 @@ def asof_join(
         ]
     from pyspark.sql import Window  # noqa: PLC0415
 
-    tag = [F.col(c).alias(f"__r_{c}") for c in value_cols]
-    r = right.select(
-        F.col(on), F.col(ts), F.lit(0).alias("__side"), *tag
-    )
+    # all right-side values travel as ONE struct per right row: the
+    # window fill then takes whole rows, never tearing individual
+    # columns from different right rows, and a legitimately-NULL value
+    # inside the matched row stays NULL (a per-column
+    # last(ignorenulls) would leak the previous row's value)
+    r_struct = F.struct(*[F.col(c) for c in value_cols]).alias("__r")
+    r = right.select(F.col(on), F.col(ts), F.lit(0).alias("__side"), r_struct)
     left_cols = left.columns
-    l_nulls = [
-        F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
-        for c in value_cols
-    ]
+    right_types = dict(right.dtypes)
+    struct_type = ", ".join(f"`{c}` {right_types[c]}" for c in value_cols)
     lf = left.select(
-        *[F.col(c) for c in left_cols], F.lit(1).alias("__side"), *l_nulls
+        *[F.col(c) for c in left_cols],
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(f"struct<{struct_type}>").alias("__r"),
     )
     r_full = r.select(
         *[
@@ -1317,7 +1324,7 @@ def asof_join(
             for c in left_cols
         ],
         "__side",
-        *[f"__r_{c}" for c in value_cols],
+        "__r",
     )
     unioned = lf.unionByName(r_full)
     w = (
@@ -1328,12 +1335,12 @@ def asof_join(
     filled = unioned.select(
         *left_cols,
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *left_cols,
+        *[F.col(f"__r.{c}").alias(c) for c in value_cols],
+    )
 
 
 def interval_join(
@@ -1437,9 +1444,12 @@ def pack_sequences(
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fills = [], []
         bin_idx, fill = 0, 0
-        for c in pdf["cost"]:
+        for i, c in enumerate(pdf["cost"]):
             c = int(c)
-            if fill > 0 and fill + c > budget:
+            # guard on position, not fill>0: with zero-cost docs the
+            # running fill can be 0 mid-sequence, and the recursive-CTE
+            # oracle applies the overflow test at every non-first step
+            if i > 0 and fill + c > budget:
                 bin_idx += 1
                 fill = 0
             fill += c

@@ -186,7 +186,14 @@ class TableIO:
         always kept). Returns the expired snapshot ids. Expired entries
         stay in the manifest flagged `expired` so snapshot ids never
         get reused, but their lineage no longer satisfies a resume
-        check and their data is gone."""
+        check and their data is gone.
+
+        On an append-maintained table, every snapshot in the
+        accumulated set (last full commit + later append-mode deltas)
+        is LIVE data, not superseded history — those are always kept,
+        so expiry can never silently destroy part of the accumulated
+        corpus (only appends superseded by a later full rewrite, and
+        old full snapshots, are expirable)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         manifest = self._load_manifest(table)
@@ -194,6 +201,12 @@ class TableIO:
         keep_ids = {s["id"] for s in snaps[-keep_last:]}
         if manifest["current"] is not None:
             keep_ids.add(manifest["current"])
+        try:
+            keep_ids.update(
+                s["id"] for s in self.accumulated_snapshots(table)
+            )
+        except FileNotFoundError:
+            pass
         expired = []
         for s in snaps:
             if s["id"] in keep_ids or s.get("expired"):

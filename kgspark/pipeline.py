@@ -317,9 +317,18 @@ class Pipeline:
                     fresh = pages_delta.join(seen, "url", "left_anti")
                 except FileNotFoundError:
                     fresh = pages_delta
-                snaps["pages"] = self.io.commit(
-                    "pages", fresh, pages_key, metadata={"mode": "append"}
-                )
+                if fresh.isEmpty():
+                    # every url already ingested: a true no-op. Do NOT
+                    # commit — an empty snapshot would cascade empty
+                    # append snapshots through all five map stages and
+                    # change the merge acc_key, forcing a full
+                    # merge-stage rebuild for nothing.
+                    skipped.append("pages")
+                else:
+                    snaps["pages"] = self.io.commit(
+                        "pages", fresh, pages_key,
+                        metadata={"mode": "append"},
+                    )
 
         lineage_parts = []
         # each map stage processes every accumulated upstream snapshot

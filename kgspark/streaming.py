@@ -28,6 +28,8 @@ WARC records.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import stages
@@ -229,9 +231,13 @@ def stream_pages_to_warehouse(
     committed snapshot ids in batch order.
     """
     committed: list[str] = []
+    # batch ids are scoped to a checkpoint: key on BOTH so a different
+    # stream (fresh checkpoint, different landing dir) can never
+    # collide with an old stream's batch 0 and silently drop data
+    stream_id = os.path.abspath(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        key = f"stream-batch:{batch_id}"
+        key = f"stream-batch:{stream_id}:{batch_id}"
         existing = io.find_snapshot("pages", key)
         if existing is not None:       # replayed batch: already durable
             committed.append(existing)
@@ -247,5 +253,11 @@ def stream_pages_to_warehouse(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream_pages_to_warehouse did not drain the backlog within "
+            f"{timeout_sec}s; committed {len(committed)} batches before "
+            "stopping — re-run to resume from the checkpoint"
+        )
     return committed

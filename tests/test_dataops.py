@@ -729,3 +729,40 @@ def test_nfc_normalize_composes(spark):
     ).collect()
     by_keep = {r["keep_doc_id"]: r["n_copies"] for r in merged}
     assert by_keep[0] == 2
+
+
+def test_asof_join_null_value_not_torn(spark):
+    """A legitimately-NULL value in the matched right row must stay
+    NULL — not leak the previous row's value (whole-row fill)."""
+    from datetime import datetime
+
+    L = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1, 10, 0, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 1, 7, 0, 0), 100, 1.0),
+            (7, datetime(2024, 1, 1, 9, 0, 0), 200, None),  # matched row
+        ],
+        "user_id long, ts timestamp, rid long, rval double",
+    )
+    row = dataops.asof_join(
+        L, R, value_cols=["rid", "rval"]
+    ).collect()[0]
+    assert row["rid"] == 200 and row["rval"] is None
+
+
+def test_pack_sequences_zero_cost_doc_matches_oracle_semantics(spark):
+    """Position-guarded overflow: a zero-cost doc followed by an
+    oversized doc must still push the oversized doc to its own bin
+    (the recursive-CTE oracle applies the test at every non-first
+    step)."""
+    d = spark.createDataFrame(
+        [(0, "", "en"), (1, "y" * 3000, "en")], DOCS_DDL
+    ).withColumn("n_chars", F.length("text"))
+    out = {
+        r["doc_id"]: r["bin_idx"]
+        for r in dataops.pack_sequences(d, budget=2000, buckets=1).collect()
+    }
+    assert out[0] == 0 and out[1] == 1

@@ -161,3 +161,21 @@ def test_read_all_unions_snapshots_skips_expired(spark, tmp_path):
     assert sorted(r["x"] for r in io.read(spark, "log").collect()) == [2, 3]
     io.expire_snapshots("log", keep_last=1)
     assert sorted(r["x"] for r in io.read_all(spark, "log").collect()) == [2, 3]
+
+
+def test_expire_preserves_accumulated_append_snapshots(spark, tmp_path):
+    """Expiry must never destroy live accumulated data: append-mode
+    snapshots after the last full commit are part of the table's
+    current state, not history."""
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh_exp"))
+    df = lambda i: spark.createDataFrame([(i,)], "v long")  # noqa: E731
+    io.commit("t", df(0), "full0")                      # superseded full
+    io.commit("t", df(1), "full1")                      # base full
+    io.commit("t", df(2), "a1", metadata={"mode": "append"})
+    io.commit("t", df(3), "a2", metadata={"mode": "append"})
+    expired = io.expire_snapshots("t", keep_last=1)
+    assert expired == ["s0000"]                         # only old full
+    acc = {r["v"] for r in io.read_accumulated(spark, "t").collect()}
+    assert acc == {1, 2, 3}

@@ -46,6 +46,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _dir_content_id(path: str) -> str:
+    """Deterministic identity of a parquet dir's CONTENTS (sorted
+    relative path + size per data file): two uploads of the same dir
+    resume; a dir that gained files gets a fresh delta id."""
+    import hashlib
+
+    entries = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            entries.append(f"{os.path.relpath(p, path)}:{os.path.getsize(p)}")
+    digest = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
+    return f"{path}@{digest[:16]}"
+
+
 def _spark(app: str):
     from kgspark.session import get_spark
 
@@ -63,7 +80,15 @@ def cmd_upload(args) -> dict:
         TableIO(args.warehouse).clear_all()
     if args.pages_parquet:
         pages = spark.read.parquet(args.pages_parquet)
-        corpus_id = args.corpus_id or f"parquet:{args.pages_parquet}"
+        if args.append and args.corpus_id is None:
+            # append deltas must get a NEW id when the directory's
+            # contents change, or "more files landed in the same dir,
+            # re-run upload --append" silently no-ops on the
+            # path-keyed resume check — derive it from the file
+            # listing instead of the path
+            corpus_id = f"parquet:{_dir_content_id(args.pages_parquet)}"
+        else:
+            corpus_id = args.corpus_id or f"parquet:{args.pages_parquet}"
     else:
         from kgspark.fixtures import pages_df
 
@@ -134,6 +159,11 @@ def cmd_search(args) -> dict:
             io, chunks, embeddings, mentions, args.query, **kwargs
         )
         cached = out["cached"]
+    # persist the top-k frames once: hits/entities are each consumed
+    # twice below (collect + context assembly) and would otherwise
+    # re-execute the full retrieval plan per action
+    out["hits"] = out["hits"].persist()
+    out["entities"] = out["entities"].persist()
     hits = [r.asDict() for r in out["hits"].collect()]
     entities = [r.asDict() for r in out["entities"].collect()]
     context = build_context(out["hits"], out["entities"], chunks)
