@@ -365,9 +365,15 @@ class Pipeline:
         # merge stages: rebuilt (full commits) over the union of every
         # extraction delta; keyed on that set of snapshot ids so an
         # unchanged accumulation resumes and a new delta recomputes
-        acc_key = "acc:" + ",".join(
-            s["id"] for s in self.io.accumulated_snapshots("extracted")
-        )
+        try:
+            acc_key = "acc:" + ",".join(
+                s["id"] for s in self.io.accumulated_snapshots("extracted")
+            )
+        except FileNotFoundError:
+            # nothing has ever been extracted (e.g. an all-duplicate or
+            # empty first delta): no merge to run
+            self.last_skipped = skipped
+            return snaps
         extracted_all = self.io.read_accumulated(spark, "extracted")
         mentions = stages.mentions_of(extracted_all)
         merge_builders = {
