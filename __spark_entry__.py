@@ -750,6 +750,28 @@ def _q_pack_docs(spark, sf_dir):
     )
 
 
+def _q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event counts spread across one column per event
+    type (explicit category list keeps the schema deterministic — the
+    scale-safe form; an unlisted-values pivot needs an extra distinct
+    pass). Oracle uses conditional aggregation, the engine-portable
+    equivalent."""
+    events = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
 def _q_orders_cube(spark, sf_dir):
     """Full CUBE over (status, priority) — every grouping-set combo in
     one pass (rollup's bigger sibling in the §2.2 checklist)."""
@@ -1004,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
         "orders_cube": _q_orders_cube,
+        "events_pivot": _q_events_pivot,
         "batch_ann_topk": _q_batch_ann_topk,
         "pack_docs": _q_pack_docs,
         "quantized_embeddings": _q_quantized_embeddings,
@@ -1730,6 +1753,15 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM scored) t
             WHERE rn <= 3
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
         """,
         "orders_cube": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,
