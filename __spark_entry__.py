@@ -1000,6 +1000,133 @@ def _q_streaming_triples(spark, sf_dir):
     )
 
 
+def _q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means (k=4, two Lloyd iterations, deterministic
+    first-k-by-id init — kgspark.dataops.kmeans_train) trained
+    distributed, then every vector assigned to its final centroid:
+    per-cell member count + mean cosine to the owning centroid. The
+    oracle unrolls BOTH iterations in SQL (argmax-cosine assignment +
+    per-dimension AVG update), so centroid *training* — not just
+    assignment — is oracle-checked. This is the learning step that
+    feeds ivf_build at scale (reference ANN backend: qdrant_store.py;
+    centroid choice is the part Qdrant hides)."""
+    from kgspark.dataops import ivf_assign, kmeans_train
+    from kgspark.query import cosine_score
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=4, n_iter=2, vectorized=False)
+    assigned = ivf_assign(emb, cents, vectorized=False)
+    scores = F.array(*[cosine_score(F.col("embedding"), c) for c in cents])
+    return (
+        assigned.select(
+            "cell", F.element_at(scores, F.col("cell") + 1).alias("own_cos")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("own_cos"), 6).alias("avg_cos"),
+        )
+    )
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per source by TF-IDF — corpus
+    characterization where raw frequency (top_terms) is stopword-
+    dominated. One tokenize pass -> two partial aggs (tf, df) joined
+    on the tiny per-term table."""
+    from kgspark.dataops import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, group_col="source", k=3)
+
+
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by the engine-
+    portable md5 hash bucket — reproducible across runs, engines, and
+    cluster sizes (randomSplit is not); the oracle re-derives the
+    exact membership in SQL. Map-only, no shuffle before the agg."""
+    from kgspark.dataops import dataset_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def _q_part_triangles(spark, sf_dir):
+    """Triangle count over the parts-co-ordered-together graph
+    (edge = two parts appearing in the same order): degree-ordered
+    orientation + wedge join (kgspark.cc.triangle_count) — the scale
+    path whose count the oracle verifies with plain a<b<c SQL (the
+    count is orientation-invariant). The co-order self-join shuffles
+    on orderkey with per-order fanout C(items, 2), bounded by order
+    size — never all-pairs over parts."""
+    from kgspark.cc import triangle_count
+
+    lp = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_count(pairs, orient="degree")
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue from lineitems whose quantity
+    is below 20% of their part's average — the aggregated-dimension
+    broadcast pattern (the per-part threshold table is orders of
+    magnitude smaller than the fact table, so it broadcasts; the fact
+    scan stays pushdown-pruned to three columns)."""
+    li = _read(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    small = li.join(F.broadcast(thresh), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_thresh")
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+def _q_ntile_spend_buckets(spark, sf_dir):
+    """Customer balance deciles WITHOUT the single-task global window:
+    kgspark.dataops.distributed_ntile computes the identical NTILE(10)
+    via range repartition + per-partition offsets (the scale answer to
+    `ntile() OVER (ORDER BY ...)` collapsing to one task); the oracle
+    uses the built-in ntile, proving the distributed arithmetic exact."""
+    from kgspark.dataops import distributed_ntile
+
+    cust = _read(spark, sf_dir, "customer")
+    b = distributed_ntile(cust, ["c_acctbal", "c_custkey"], k=10)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1070,6 +1197,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lineage": _q_kg_lineage,
         "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest
         "kg_pagerank": _q_kg_pagerank,  # rows-only; 1e-12 pytest vs reference
+        # round-3 additions (all SQL-checked)
+        "kmeans_clusters": _q_kmeans_clusters,  # unrolled-Lloyd oracle
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dataset_split": _q_dataset_split,
+        "part_triangles": _q_part_triangles,  # degree-oriented wedge join
+        "small_qty_revenue": _q_small_qty_revenue,
+        "ntile_spend_buckets": _q_ntile_spend_buckets,  # distributed ntile
     }
 
 
@@ -1326,6 +1460,59 @@ def _hits(lang: str) -> str:
         "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'),"
         f" x -> x IN ({_LANG_MARKER_SQL[lang]})))"
     )
+
+
+def _kmeans_cluster_sql(k: int = 4, dim: int = 64) -> str:
+    """Unrolled two-iteration spherical k-means in DuckDB SQL —
+    mirrors kgspark.dataops.kmeans_train(k, n_iter=2) bit-for-bit:
+    init = first k embeddings by vec_id; assignment = argmax cosine
+    with first-max-wins tie-break (row_number ORDER BY ccos DESC,
+    cell == array_position(scores, array_max)); update = per-dimension
+    AVG of members (spherical k-means skips re-normalization — cosine
+    assignment is scale-invariant, which is what keeps the update
+    exactly SQL-expressible)."""
+    cos0 = _cos_sql("e.embedding", "c.cv", guard_b=True)
+
+    def assign_block(i: int, cents: str) -> str:
+        return f"""
+            s{i} AS (
+              SELECT e.vec_id, e.embedding, c.cell, {cos0} AS ccos
+              FROM embeddings e CROSS JOIN {cents} c),
+            a{i} AS (
+              SELECT vec_id, embedding, cell, ccos FROM (
+                SELECT vec_id, embedding, cell, ccos,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY ccos DESC, cell
+                       ) AS rn
+                FROM s{i}) t
+              WHERE rn = 1)"""
+
+    def update_block(i: int) -> str:
+        return f"""
+            m{i} AS (
+              SELECT a.cell, r.range AS pos,
+                     avg(CAST(a.embedding[r.range] AS DOUBLE)) AS v
+              FROM a{i} a, range(1, {dim + 1}) r
+              GROUP BY a.cell, r.range),
+            cents{i} AS (
+              SELECT cell, list(v ORDER BY pos) AS cv
+              FROM m{i} GROUP BY cell)"""
+
+    return f"""
+            WITH cents0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS cv
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT {k})),
+            {assign_block(1, 'cents0')},
+            {update_block(1)},
+            {assign_block(2, 'cents1')},
+            {update_block(2)},
+            {assign_block(3, 'cents2')}
+            SELECT cell, count(*) AS n_members,
+                   round(avg(ccos), 6) AS avg_cos
+            FROM a3 GROUP BY cell
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1981,4 +2168,76 @@ def oracle_sql() -> dict[str, str]:
     # inline IVF computation returns — same oracle
     oracles["ann_ivf_indexed_topk"] = oracles["ann_ivf_topk"]
     oracles["simhash_near_dup"] = _simhash_sql(max_hamming=3)
+    oracles["kmeans_clusters"] = _kmeans_cluster_sql(k=4, dim=64)
+    oracles["tfidf_top_terms"] = """
+        WITH toks AS (
+          SELECT doc_id, source AS grp,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        nd AS (SELECT count(*) AS n FROM documents),
+        tf AS (SELECT grp, term, count(*) AS tf FROM toks GROUP BY grp, term),
+        dfx AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM toks) t
+                GROUP BY term),
+        scored AS (
+          SELECT tf.grp, tf.term,
+                 tf.tf * ln(CAST(nd.n AS DOUBLE) / dfx.df) AS raw
+          FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN nd),
+        ranked AS (
+          SELECT grp, term, raw,
+                 row_number() OVER (
+                   PARTITION BY grp ORDER BY raw DESC, term) AS rn
+          FROM scored)
+        SELECT grp AS source, term, round(raw, 6) AS score, rn AS rank
+        FROM ranked WHERE rn <= 3
+    """
+    oracles["dataset_split"] = """
+        -- same md5/15-hex 64-bit hash as kgspark.dataops.hash_bucket
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT n_chars,
+                     ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS b
+              FROM documents) t
+        GROUP BY 1
+    """
+    oracles["part_triangles"] = """
+        -- count is orientation-invariant: plain a<b<c id-order SQL
+        -- verifies the degree-oriented Spark plan
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey),
+        nodes AS (SELECT count(DISTINCT v) AS n FROM
+                  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t),
+        tri AS (SELECT count(*) AS n
+                FROM e e1 JOIN e e2 ON e2.a = e1.b
+                          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT (SELECT n FROM nodes) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT n FROM tri) AS n_triangles
+    """
+    oracles["small_qty_revenue"] = """
+        WITH t AS (SELECT l_partkey,
+                          CAST(0.2 AS DOUBLE) * avg(l_quantity) AS qty_thresh
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT count(*) AS n_lines,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.qty_thresh
+    """
+    oracles["ntile_spend_buckets"] = """
+        WITH b AS (SELECT c_acctbal,
+                          ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+                            AS bucket
+                   FROM customer)
+        SELECT bucket, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM b GROUP BY bucket
+    """
     return oracles

@@ -213,3 +213,82 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Distributed triangle counting over an undirected edge list —
+    the third classic graph-analytics op next to connected_components
+    and pagerank (clustering-coefficient numerator, community-density
+    signal over the constructed KG).
+
+    Input edges are canonicalized (undirected, self-loops dropped,
+    deduped). Each triangle is counted exactly once by orienting every
+    edge and closing wedges:
+
+      * orient="degree" (the scale path): orient each edge from its
+        lower-(degree, id) endpoint to the higher one. Every node's
+        out-degree is then O(sqrt(|E|)) — the standard bound that caps
+        the wedge-join fanout even on power-law graphs, where id-
+        ordering would let one hub generate O(deg^2) wedges.
+      * orient="id": orient low id -> high id (the naive variant kept
+        for tests/oracle parity — same count by symmetry).
+
+    Shape: wedge join (a->b)x(b->c) on b, then a semi-join of wedges
+    against the oriented edge set on (a, c). Two shuffles on edge
+    keys; no all-pairs stage anywhere. The count is orientation-
+    invariant, so the DuckDB oracle can verify the degree-oriented
+    plan with plain a<b<c SQL.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    nodes = und.select(F.col("a").alias("v")).union(
+        und.select(F.col("b").alias("v"))
+    ).distinct()
+    n_nodes = nodes.count()
+    if orient == "degree":
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .union(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+        db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+        keyed = und.join(da, "a").join(db, "b")
+        fwd = F.struct("dega", "a") < F.struct("degb", "b")
+        oriented = keyed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    elif orient == "id":
+        oriented = und.select(
+            F.col("a").alias("lo"), F.col("b").alias("hi")
+        )
+    else:  # pragma: no cover - guarded by tests
+        raise ValueError(f"unknown orient: {orient}")
+    oriented = oriented.localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "z")
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tri = wedges.join(closing, ["x", "z"], "inner").count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(n_nodes), int(n_edges), int(tri))],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )

@@ -1547,3 +1547,229 @@ def nfc_normalize(documents: DataFrame) -> DataFrame:
         "text_nfc",
         (F.col("text") != F.col("text_nfc")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means training (spherical Lloyd's) — learns the IVF centroid set
+# ---------------------------------------------------------------------------
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vectorized: bool | None = None,
+    stats: dict | None = None,
+) -> list[list[float]]:
+    """Spherical k-means by Lloyd's iteration — trains the centroid
+    set that ivf_build/ivf_ann consume (the reference picks Qdrant's
+    default index; the Spark-scale analog is IVF over learned
+    centroids, so centroid *training* belongs in the engine too).
+
+    Semantics: deterministic init = the k lowest-vec_id vectors (no
+    RNG — reproducible across runs/engines); each iteration assigns
+    every vector to its argmax-COSINE centroid (exactly ivf_assign,
+    first-max-wins tie-break, so both the literal-codegen and the
+    broadcast-numpy production path apply), then recomputes each
+    centroid as the element-wise mean of its members. Cosine-assign +
+    mean-update is the standard spherical-k-means step; centroid norm
+    does not affect the next assignment (cosine normalizes), so means
+    are NOT re-normalized — which keeps the update expressible in
+    exact oracle SQL. Empty cells keep their previous centroid.
+
+    Scale shape: per iteration exactly one pass over the data —
+    assignment (map-only; JVM codegen or one BLAS matmul per Arrow
+    batch) followed by posexplode + partial-agg mean per (cell, pos).
+    Only k*dim aggregated values ever reach the driver (the centroid
+    matrix is a driver-resident artifact by definition — it is what
+    gets broadcast back out), so driver traffic is O(k*dim*n_iter),
+    independent of table size.
+    """
+    init = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    if not cents:
+        return []
+    dim = len(cents[0])
+    for it in range(n_iter):
+        assigned = ivf_assign(embeddings, cents, vectorized=vectorized)
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["v"]
+        cents = [by_cell.get(c, cents[c]) for c in range(len(cents))]
+        if stats is not None:
+            stats.setdefault("filled_cells", []).append(len(by_cell))
+    return cents
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms (pure JVM, oracle-expressible)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k distinctive terms per document group by TF-IDF — the
+    corpus-characterization operator (what does each source/domain
+    talk about?) that raw term frequency can't answer because
+    stopwords dominate every group.
+
+    tf = term count within the group; df = number of DOCUMENTS
+    containing the term; idf = ln(N/df) with N = total documents.
+    Score = tf * idf, rounded to 6 for cross-engine comparability;
+    ties break on term asc.
+
+    Scale shape: one tokenize pass feeding two partial-aggregates
+    (per-(group,term) tf and per-term df) joined on term — df is a
+    per-term table orders of magnitude smaller than the corpus, and
+    the final per-group top-k is a window over the (group, term)
+    aggregate, not the raw tokens. No data-sized shuffle after the
+    first explode-agg.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = documents.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    n_docs = documents.count()
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    df_tbl = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_tbl, "term").select(
+        "grp",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "raw_score"
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("raw_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            F.round("raw_score", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def dataset_split(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    reproducible alternative to randomSplit (whose output depends on
+    partitioning): the same row lands in the same split on every run,
+    engine, and cluster size, and membership is auditable from the key
+    alone. Uses the engine-portable md5/15-hex-char hash (hash_bucket)
+    so the assignment is bit-identical in DuckDB oracle SQL.
+
+    Map-only (no shuffle, no RNG); downstream consumers filter on the
+    split column and the filter pushes down to the scan.
+    """
+    b = hash_bucket(F.col(key_col))
+    return documents.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed exact NTILE (no single-partition global sort)
+# ---------------------------------------------------------------------------
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(k) over a GLOBAL order without the single-task
+    window: `ntile(k) OVER (ORDER BY ...)` in Spark collapses the
+    whole table into ONE window partition — the classic global-ranking
+    bottleneck at scale. This computes the identical bucket assignment
+    distributed:
+
+      1. repartitionByRange on the order columns (range exchange —
+         equal keys co-locate, boundaries from a driver-side sample);
+      2. per-partition counts (tiny collect: one long per partition)
+         turned into cumulative offsets;
+      3. global rank = offset[partition] + row_number within the
+         partition (sortWithinPartitions — no cross-partition sort);
+      4. SQL-standard NTILE arithmetic from (rank, n, k): the first
+         n % k buckets get ceil(n/k) rows, the rest floor(n/k).
+
+    The order must be a TOTAL order (include a tie-break key), or
+    ranks within a tie would be partition-dependent. Output = input
+    columns + `bucket` (1-based, identical to the built-in ntile).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    nparts = num_partitions or max(
+        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+    ranged = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(
+        *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)
+    sizes = dict(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    big, small = (n % k), (n // k)
+    cut = big * (small + 1)  # ranks <= cut are in the big buckets
+    rank = (off_map[F.col("__pid")] + F.row_number().over(w)).alias("__rank")
+    ranked = ranged.withColumn("__rank", rank)
+    bucket = F.when(
+        F.col("__rank") <= cut,
+        F.ceil(F.col("__rank") / F.lit(small + 1)),
+    ).otherwise(
+        F.lit(big)
+        + F.ceil((F.col("__rank") - F.lit(cut)) / F.lit(max(small, 1)))
+    )
+    return ranked.withColumn("bucket", bucket.cast("int")).drop(
+        "__pid", "__rank"
+    )

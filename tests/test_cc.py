@@ -185,3 +185,50 @@ def test_pagerank_matches_reference_with_dangling(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     # the hub pointed to by everything outranks its sources
     assert got["c"] > got["b"] > got["d"]
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for trio in combinations(sorted(adj), 3):
+        a, b, c = trio
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            count += 1
+    return count
+
+
+@pytest.mark.parametrize("orient", ["degree", "id"])
+def test_triangle_count_vs_brute_force(spark, orient):
+    from kgspark.cc import triangle_count
+
+    # deterministic pseudo-random graph with dup edges, both
+    # directions, and self-loops
+    edges = [((i * 7) % 20, (i * 13 + 3) % 20) for i in range(120)]
+    edges += [(b, a) for a, b in edges[:30]] + [(4, 4), (7, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df, orient=orient).collect()[0]
+    assert row["n_triangles"] == _brute_triangles(edges)
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    assert row["n_edges"] == len(canon)
+
+
+def test_triangle_count_star_has_none(spark):
+    from kgspark.cc import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_nodes"] == 8

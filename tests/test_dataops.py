@@ -766,3 +766,140 @@ def test_pack_sequences_zero_cost_doc_matches_oracle_semantics(spark):
         for r in dataops.pack_sequences(d, budget=2000, buckets=1).collect()
     }
     assert out[0] == 0 and out[1] == 1
+
+
+# ---------------------------------------------------------------------------
+# k-means training
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_numpy_reference(vecs, k, n_iter):
+    """Plain-numpy spherical Lloyd: first-k init, argmax-cosine
+    first-max-wins assignment, per-dim mean update, empty cell keeps
+    its previous centroid."""
+    import numpy as np
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0
+        return m / n[:, None]
+
+    x = np.asarray(vecs, dtype=np.float64)
+    cents = x[:k].copy()
+    for _ in range(n_iter):
+        sims = unit(x) @ unit(cents).T
+        cells = np.argmax(sims, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = x[cells == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = new
+    return cents, cells
+
+
+def test_kmeans_train_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).round(3).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = dataops.kmeans_train(df, k=3, n_iter=3, vectorized=False)
+    want, _ = _kmeans_numpy_reference(vecs, k=3, n_iter=3)
+    assert np.allclose(np.asarray(got), want, atol=1e-9)
+
+
+def test_kmeans_train_vectorized_path_agrees(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).round(3).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    lit = dataops.kmeans_train(df, k=4, n_iter=2, vectorized=False)
+    vec = dataops.kmeans_train(df, k=4, n_iter=2, vectorized=True)
+    assert np.allclose(np.asarray(lit), np.asarray(vec), atol=1e-12)
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    # two tight clusters + k=3 where the third init vector is inside
+    # cluster one: its cell empties out and must keep its previous
+    # centroid instead of becoming zeros/NaN
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.0, 0.05]),
+        (3, [0.0, 1.0]), (4, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = dataops.kmeans_train(df, k=3, n_iter=2, vectorized=False)
+    assert len(cents) == 3
+    assert all(all(math.isfinite(x) for x in c) for c in cents)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_demotes_corpus_wide_terms(spark):
+    rows = [
+        (0, "common spark spark spark", "a"),
+        (1, "common flink flink flink", "b"),
+        (2, "common beam beam beam", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source"], r["rank"]): r["term"]
+        for r in dataops.tfidf_top_terms(df, "source", k=1).collect()
+    }
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> never top
+    assert got == {("a", 1): "spark", ("b", 1): "flink", ("c", 1): "beam"}
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in dataops.dataset_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataops.dataset_split(df.repartition(7)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.07 < frac["val"] / 2000 < 0.13
+    assert 0.07 < frac["test"] / 2000 < 0.13
+
+
+# ---------------------------------------------------------------------------
+# distributed NTILE
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,k", [(17, 5), (100, 10), (9, 4), (3, 10)])
+def test_distributed_ntile_matches_builtin(spark, n, k):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [((i * 37) % n, i) for i in range(n)], "val long, id long"
+    )
+    got = {
+        (r["val"], r["id"]): r["bucket"]
+        for r in dataops.distributed_ntile(
+            df, ["val", "id"], k=k, num_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy("val", "id")
+    want = {
+        (r["val"], r["id"]): r["b"]
+        for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
