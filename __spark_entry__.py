@@ -1127,6 +1127,60 @@ def _q_ntile_spend_buckets(spark, sf_dir):
     )
 
 
+def _q_table_profile(spark, sf_dir):
+    """Per-column null/distinct/min/max audit of the events table —
+    one scan, one aggregate, in-plan stack unpivot
+    (kgspark.dataops.table_profile). Exact mode here (oracle-
+    checkable); approx (HLL) mode is the 100 TB default."""
+    from kgspark.dataops import table_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return table_profile(
+        ev, columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+
+def _q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape over the tables this corpus has: for each part,
+    the supplier offering the lowest observed unit price
+    (l_extendedprice / l_quantity, exact MIN — no summation, so the
+    argmin is bit-stable cross-engine), enriched through the
+    supplier -> nation -> region dim chain. Fact agg shuffles on
+    (partkey, suppkey); everything after is broadcast dim joins +
+    a per-part window argmin on the already-aggregated table."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    offers = li.filter(F.col("l_quantity") > 0).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.round("unit_price", 6).alias("best_unit_price"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1204,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": _q_part_triangles,  # degree-oriented wedge join
         "small_qty_revenue": _q_small_qty_revenue,
         "ntile_spend_buckets": _q_ntile_spend_buckets,  # distributed ntile
+        "table_profile": _q_table_profile,
+        "min_cost_supplier": _q_min_cost_supplier,
     }
 
 
@@ -2239,5 +2295,46 @@ def oracle_sql() -> dict[str, str]:
                round(min(c_acctbal), 2) AS min_bal,
                round(max(c_acctbal), 2) AS max_bal
         FROM b GROUP BY bucket
+    """
+    oracles["table_profile"] = """
+        SELECT 'event_id' AS col_name,
+               count(*) - count(event_id) AS n_nulls,
+               count(DISTINCT event_id) AS n_distinct,
+               min(event_id)::VARCHAR AS min_value,
+               max(event_id)::VARCHAR AS max_value FROM events
+        UNION ALL
+        SELECT 'user_id', count(*) - count(user_id),
+               count(DISTINCT user_id),
+               min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM events
+        UNION ALL
+        SELECT 'event_type', count(*) - count(event_type),
+               count(DISTINCT event_type),
+               min(event_type)::VARCHAR, max(event_type)::VARCHAR FROM events
+        UNION ALL
+        SELECT 'value', count(*) - count(value),
+               count(DISTINCT value),
+               min(value)::VARCHAR, max(value)::VARCHAR FROM events
+    """
+    oracles["min_cost_supplier"] = """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_price
+          FROM lineitem WHERE l_quantity > 0
+          GROUP BY l_partkey, l_suppkey),
+        best AS (
+          SELECT l_partkey, l_suppkey, unit_price FROM (
+            SELECT l_partkey, l_suppkey, unit_price,
+                   row_number() OVER (
+                     PARTITION BY l_partkey
+                     ORDER BY unit_price, l_suppkey) AS rn
+            FROM offers) t
+          WHERE rn = 1)
+        SELECT b.l_partkey AS partkey, s.s_name AS supplier,
+               n.n_name AS nation, r.r_name AS region,
+               round(b.unit_price, 6) AS best_unit_price
+        FROM best b
+        JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
     """
     return oracles

@@ -30,7 +30,8 @@ dims, fuzzy vocab build/query split, text analysis, relational.
 r3-new segments (all skipped under KGSPARK_BENCH_SKIP_EXTRAS so
 scaling runs time the r2-comparable list): corpus_filters
 (repetition / contamination / PII / winnow), temporal_joins
-(as-of + interval), kg_analytics (10-iteration PageRank).
+(as-of + interval), kg_analytics (10-iteration PageRank), graph_mining
+(degree-oriented triangle count + 3-iteration k-means training).
 
 Scaling-efficiency evidence (BASELINE.md protocol) is produced by
 tools/bench_scaling.py which runs this same workload at two
@@ -389,6 +390,30 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
             ).count()
 
         timed("kg_analytics", kg_analytics)
+
+        def graph_mining():
+            from kgspark.cc import triangle_count  # noqa: PLC0415
+            from kgspark.dataops import kmeans_train  # noqa: PLC0415
+
+            lp = read("lineitem").select("l_orderkey", "l_partkey").distinct()
+            a, b = lp.alias("a"), lp.alias("b")
+            pairs = (
+                a.join(
+                    b,
+                    on=[
+                        F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                        F.col("a.l_partkey") < F.col("b.l_partkey"),
+                    ],
+                )
+                .select(
+                    F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst"),
+                )
+            )
+            triangle_count(pairs, orient="degree").count()
+            kmeans_train(read("embeddings"), k=16, n_iter=3)
+
+        timed("graph_mining", graph_mining)
 
     def relational():
         li = read("lineitem")

@@ -1773,3 +1773,50 @@ def distributed_ntile(
     return ranked.withColumn("bucket", bucket.cast("int")).drop(
         "__pid", "__rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling (data-quality audit)
+# ---------------------------------------------------------------------------
+
+
+def table_profile(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Per-column data-quality profile — null count, distinct count,
+    min, max (min/max computed in the column's native type, then
+    stringified) — the audit every ingest of untrusted web data runs
+    before anything downstream trusts the table.
+
+    One full scan, ONE aggregate producing all stats, then an in-plan
+    `stack` unpivot to (col_name, n_nulls, n_distinct, min_value,
+    max_value) rows — no per-column jobs, no driver-side loop over
+    data. Exact multi-column countDistinct makes Catalyst EXPAND the
+    input (one replica per distinct-agg): explicit and acceptable for
+    an audit op; pass exact=False to use approx_count_distinct (HLL)
+    instead, which removes the expansion — the right default at
+    100 TB where a +-2% distinct estimate is fine.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        distinct = (
+            F.countDistinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct.alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col_name, n_nulls, n_distinct, min_value, max_value)"
+    )

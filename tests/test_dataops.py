@@ -903,3 +903,64 @@ def test_distributed_ntile_matches_builtin(spark, n, k):
         for r in df.withColumn("b", F.ntile(k).over(w)).collect()
     }
     assert got == want
+
+
+def test_ivf_with_trained_centroids_recovers_clusters(spark):
+    """kmeans_train exists to feed ivf_build: on 4-cluster data the
+    trained centroids must (a) recover each true cluster direction,
+    (b) balance the cells, and (c) give IVF recall@10 = 1.0 while
+    probing a SINGLE cell — the property that makes n_probe << nlist
+    viable at scale."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4).repeat(2, axis=1)  # 4 orthogonal dirs, dim 8
+    vecs = []
+    for i in range(200):
+        c = centers[i % 4]
+        vecs.append((c + rng.normal(scale=0.05, size=8)).tolist())
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    trained = dataops.kmeans_train(df, k=4, n_iter=4, vectorized=False)
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for c in centers:
+        assert max(cos(c, t) for t in trained) > 0.99
+    sizes = {
+        r["cell"]: r["n"]
+        for r in dataops.ivf_assign(df, trained, vectorized=False)
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(sizes) == [0, 1, 2, 3]
+    assert all(40 <= n <= 60 for n in sizes.values())
+
+    q = vecs[1]
+    truth = {r["vec_id"] for r in dataops.brute_force_ann(df, q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in dataops.ivf_ann(
+            df, trained, q, k=10, n_probe=1, vectorized=False
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, v string",
+    )
+    prof = {r["col_name"]: r for r in dataops.table_profile(df).collect()}
+    assert prof["k"]["n_nulls"] == 1 and prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "2"
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    # approx mode must run without the EXPAND and stay close on tiny data
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in dataops.table_profile(df, exact=False).collect()
+    }
+    assert approx["k"] == 2 and approx["v"] == 2
