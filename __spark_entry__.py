@@ -1181,6 +1181,40 @@ def _q_min_cost_supplier(spark, sf_dir):
     )
 
 
+def _q_bloom_filter_join(spark, sf_dir):
+    """Runtime-filter pattern: build a Bloom filter (m=65536 bits,
+    k=4) from the custkeys of 'F'-status orders, probe every
+    customer, and summarize — members always pass (zero false
+    negatives by construction), non-members pass only at the false-
+    positive rate. At 100 TB this is how you prune a fact-table scan
+    before the shuffle a semi-join would force: the word table is a
+    few KB and broadcasts. The md5 hash construction makes the whole
+    filter bit-identical in the DuckDB oracle."""
+    from kgspark.dataops import bloom_build, bloom_probe
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    bloom = bloom_build(f_orders, "o_custkey")
+    passed = bloom_probe(cust, "c_custkey", bloom)
+    members = f_orders.select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    flagged = passed.join(
+        members.withColumn("is_member", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(
+            (F.col("pass") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1260,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_spend_buckets": _q_ntile_spend_buckets,  # distributed ntile
         "table_profile": _q_table_profile,
         "min_cost_supplier": _q_min_cost_supplier,
+        "bloom_filter_join": _q_bloom_filter_join,
     }
 
 
@@ -2336,5 +2371,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN supplier s ON b.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
+    """
+    oracles["bloom_filter_join"] = """
+        -- same md5/15-hex hash, 32-bit words: bit-identical filter
+        WITH members AS (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        mh AS (
+          SELECT ('0x' || substring(
+                    md5(o_custkey::VARCHAR || ':' || r.range), 1, 15)
+                 )::BIGINT % 65536 AS h
+          FROM members, range(0, 4) r),
+        words AS (
+          SELECT h // 32 AS word_idx,
+                 bit_or((1::BIGINT) << CAST(h % 32 AS INT)) AS word
+          FROM mh GROUP BY h // 32),
+        ph AS (
+          SELECT c_custkey,
+                 ('0x' || substring(
+                    md5(c_custkey::VARCHAR || ':' || r.range), 1, 15)
+                 )::BIGINT % 65536 AS h
+          FROM customer, range(0, 4) r),
+        probe AS (
+          SELECT p.c_custkey,
+                 CASE WHEN coalesce(w.word, 0)
+                        & ((1::BIGINT) << CAST(p.h % 32 AS INT)) <> 0
+                      THEN 1 ELSE 0 END AS hit
+          FROM ph p LEFT JOIN words w ON p.h // 32 = w.word_idx),
+        flags AS (
+          SELECT c.c_custkey,
+                 (SELECT sum(hit) FROM probe
+                  WHERE probe.c_custkey = c.c_custkey) = 4 AS pass,
+                 c.c_custkey IN (SELECT o_custkey FROM members) AS is_member
+          FROM customer c)
+        SELECT count(*) AS n_customers,
+               CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass,
+               CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_members,
+               CAST(sum(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM flags
     """
     return oracles

@@ -1820,3 +1820,93 @@ def table_profile(
         f"stack({len(cols)}, {stacked}) AS "
         "(col_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# portable Bloom filter (runtime-filter primitive)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_hash(key_str_col, i: int, m_bits: int):
+    """i-th Bloom hash: engine-portable md5/15-hex 64-bit hash of
+    key:":i" mod m_bits — same construction as hash_bucket, so the
+    whole filter is bit-identical in DuckDB oracle SQL."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key_str_col, F.lit(f":{i}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 65536, k_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a SPARSE word table
+    (word_idx, word) of 32-bit words — the runtime-filter primitive:
+    at 100 TB you build this from the small side of a join in one
+    cheap agg, broadcast it (the whole filter is m_bits/32 rows ~ a
+    few KB), and drop non-matching fact rows BEFORE the shuffle that
+    a semi-join would need. False positives only — never drops a
+    matching row.
+
+    Shape: distinct keys -> explode k hash positions -> bit_or agg per
+    word. 32-bit words keep every shifted bit positive in a BIGINT on
+    both engines (bit 63 is range-checked by DuckDB's ANSI shift).
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("__key")).distinct()
+    hs = F.array(
+        *[_bloom_hash(F.col("__key"), i, m_bits) for i in range(k_hashes)]
+    )
+    return (
+        keys.select(F.explode(hs).alias("h"))
+        .select(
+            F.shiftright("h", 5).cast("int").alias("word_idx"),
+            F.col("h").bitwiseAND(F.lit(31)).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a bloom_build table: emits the input keys plus a `pass`
+    flag (true iff all k bits are set — member keys ALWAYS pass;
+    non-members pass at the false-positive rate). The bloom side is
+    broadcast (it is tiny by construction), so probing is map-side
+    only — no shuffle on the probed table beyond the final per-key
+    agg, and when the key is already distinct that agg is map-side."""
+    key = F.col(key_col).cast("string")
+    hs = F.array(*[_bloom_hash(key, i, m_bits) for i in range(k_hashes)])
+    probes = (
+        df.select(F.col(key_col), F.explode(hs).alias("h"))
+        .select(
+            key_col,
+            F.shiftright("h", 5).cast("int").alias("word_idx"),
+            F.col("h").bitwiseAND(F.lit(31)).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            (
+                F.coalesce(F.col("word"), F.lit(0))
+                .bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+                )
+                != 0
+            ).alias("hit"),
+        )
+    )
+    return probes.groupBy(key_col).agg(
+        (F.sum(F.col("hit").cast("int")) == k_hashes).alias("pass")
+    )

@@ -964,3 +964,25 @@ def test_table_profile_counts_nulls_and_distincts(spark):
         for r in dataops.table_profile(df, exact=False).collect()
     }
     assert approx["k"] == 2 and approx["v"] == 2
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    members = spark.range(0, 500).withColumnRenamed("id", "k")
+    bloom = dataops.bloom_build(members, "k", m_bits=1 << 14, k_hashes=4)
+    probes = spark.range(0, 5000).withColumnRenamed("id", "k")
+    res = {r["k"]: r["pass"] for r in dataops.bloom_probe(
+        probes, "k", bloom, m_bits=1 << 14, k_hashes=4
+    ).collect()}
+    # zero false negatives: every member passes
+    assert all(res[k] for k in range(500))
+    # false-positive rate stays near theory: (1-exp(-kn/m))^k ~ 0.13%
+    # at n=500, m=16384, k=4; allow generous slack
+    fp = sum(1 for k in range(500, 5000) if res[k])
+    assert fp / 4500 < 0.02
+
+
+def test_bloom_filter_word_table_is_tiny(spark):
+    members = spark.range(0, 1000).withColumnRenamed("id", "k")
+    bloom = dataops.bloom_build(members, "k", m_bits=1 << 14, k_hashes=4)
+    # sparse word table never exceeds m_bits/32 rows (broadcastable)
+    assert bloom.count() <= (1 << 14) // 32
