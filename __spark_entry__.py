@@ -1215,6 +1215,17 @@ def _q_bloom_filter_join(spark, sf_dir):
     )
 
 
+def _q_key_skew_stats(spark, sf_dir):
+    """Top-10 hottest event users with row share — the skew probe run
+    before keying any shuffle on user_id (kgspark.dataops
+    .key_skew_stats); partial-agg + TakeOrderedAndProject, total via
+    broadcast cross join (single scan pair, no driver loop)."""
+    from kgspark.dataops import key_skew_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return key_skew_stats(ev, "user_id", top_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1295,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "min_cost_supplier": _q_min_cost_supplier,
         "bloom_filter_join": _q_bloom_filter_join,
+        "key_skew_stats": _q_key_skew_stats,
     }
 
 
@@ -2411,5 +2423,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_false_pos
         FROM flags
+    """
+    oracles["key_skew_stats"] = """
+        WITH counts AS (
+          SELECT user_id::VARCHAR AS key, count(*) AS n_rows
+          FROM events GROUP BY 1),
+        total AS (SELECT count(*) AS t FROM events),
+        top AS (
+          SELECT key, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+          FROM counts)
+        SELECT rank, key, n_rows,
+               round(n_rows * 100.0 / t, 6) AS share_pct
+        FROM top, total WHERE rank <= 10
     """
     return oracles

@@ -1910,3 +1910,34 @@ def bloom_probe(
     return probes.groupBy(key_col).agg(
         (F.sum(F.col("hit").cast("int")) == k_hashes).alias("pass")
     )
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnosis — the measurement that precedes every salting
+    / skew-join decision: the top_n heaviest values of a prospective
+    join/agg key with their row share. One partial-aggregated count
+    per key + a TakeOrderedAndProject for the top-n; the total rides
+    along as a broadcast 1-row cross join (no second scan, no driver
+    round-trip in the plan). Output: (rank, key, n_rows, share_pct
+    rounded 6)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    total = df.agg(F.count("*").alias("__total"))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.round(
+                F.col("n_rows") * 100.0 / F.col("__total"), 6
+            ).alias("share_pct"),
+        )
+    )

@@ -986,3 +986,14 @@ def test_bloom_filter_word_table_is_tiny(spark):
     bloom = dataops.bloom_build(members, "k", m_bits=1 << 14, k_hashes=4)
     # sparse word table never exceeds m_bits/32 rows (broadcastable)
     assert bloom.count() <= (1 << 14) // 32
+
+
+def test_key_skew_stats_orders_and_shares(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = dataops.key_skew_stats(df, "k", top_n=2).collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in rows] == [
+        (1, "a", 6), (2, "b", 3),
+    ]
+    assert rows[0]["share_pct"] == 60.0
