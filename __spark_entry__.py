@@ -1226,6 +1226,38 @@ def _q_key_skew_stats(spark, sf_dir):
     return key_skew_stats(ev, "user_id", top_n=10)
 
 
+def _q_zorder_cells(spark, sf_dir):
+    """Z-order cell histogram of events over (value, event time):
+    equal-width bucket per dimension (3 bits) + Morton interleave —
+    the layout key behind multi-dimensional file pruning
+    (kgspark.dataops.zorder_layout). Pure per-row arithmetic from a
+    broadcast min/max, so the oracle reproduces every z-value
+    bit-for-bit."""
+    from kgspark.dataops import _width_bucket, zorder_value
+
+    from kgspark.dataops import ts_micros
+
+    ev0 = _read(spark, sf_dir, "events")
+    ev = ev0.select(F.col("value"), ts_micros(ev0).alias("ts_us"))
+    stats = ev.agg(
+        F.min(F.col("value").cast("double")).alias("vmin"),
+        F.max(F.col("value").cast("double")).alias("vmax"),
+        F.min(F.col("ts_us").cast("double")).alias("tmin"),
+        F.max(F.col("ts_us").cast("double")).alias("tmax"),
+    )
+    keyed = ev.crossJoin(F.broadcast(stats)).withColumn(
+        "zvalue",
+        zorder_value(
+            [
+                _width_bucket(F.col("value"), F.col("vmin"), F.col("vmax"), 3),
+                _width_bucket(F.col("ts_us"), F.col("tmin"), F.col("tmax"), 3),
+            ],
+            3,
+        ),
+    )
+    return keyed.groupBy("zvalue").agg(F.count("*").alias("n_events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1307,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "bloom_filter_join": _q_bloom_filter_join,
         "key_skew_stats": _q_key_skew_stats,
+        "zorder_cells": _q_zorder_cells,
     }
 
 
@@ -2437,4 +2470,16 @@ def oracle_sql() -> dict[str, str]:
                round(n_rows * 100.0 / t, 6) AS share_pct
         FROM top, total WHERE rank <= 10
     """
+    oracles["zorder_cells"] = """
+        WITH s AS (
+          SELECT CAST(min(value) AS DOUBLE) AS vmin,
+                 CAST(max(value) AS DOUBLE) AS vmax,
+                 CAST(min(epoch_us(ts)) AS DOUBLE) AS tmin,
+                 CAST(max(epoch_us(ts)) AS DOUBLE) AS tmax
+          FROM events),
+        keyed AS (
+          SELECT ({interleave}) AS zvalue
+          FROM events, s)
+        SELECT zvalue, count(*) AS n_events FROM keyed GROUP BY zvalue
+    """.format(interleave="""((((CASE WHEN s.vmax = s.vmin THEN 0 ELSE greatest(least(CAST(floor((CAST(value AS DOUBLE) - s.vmin) / (s.vmax - s.vmin) * 8.0) AS INT), 7), 0) END) // 1) % 2) * 1) + ((((CASE WHEN s.vmax = s.vmin THEN 0 ELSE greatest(least(CAST(floor((CAST(value AS DOUBLE) - s.vmin) / (s.vmax - s.vmin) * 8.0) AS INT), 7), 0) END) // 2) % 2) * 4) + ((((CASE WHEN s.vmax = s.vmin THEN 0 ELSE greatest(least(CAST(floor((CAST(value AS DOUBLE) - s.vmin) / (s.vmax - s.vmin) * 8.0) AS INT), 7), 0) END) // 4) % 2) * 16) + ((((CASE WHEN s.tmax = s.tmin THEN 0 ELSE greatest(least(CAST(floor((CAST(epoch_us(ts) AS DOUBLE) - s.tmin) / (s.tmax - s.tmin) * 8.0) AS INT), 7), 0) END) // 1) % 2) * 2) + ((((CASE WHEN s.tmax = s.tmin THEN 0 ELSE greatest(least(CAST(floor((CAST(epoch_us(ts) AS DOUBLE) - s.tmin) / (s.tmax - s.tmin) * 8.0) AS INT), 7), 0) END) // 2) % 2) * 8) + ((((CASE WHEN s.tmax = s.tmin THEN 0 ELSE greatest(least(CAST(floor((CAST(epoch_us(ts) AS DOUBLE) - s.tmin) / (s.tmax - s.tmin) * 8.0) AS INT), 7), 0) END) // 4) % 2) * 32)""")
     return oracles

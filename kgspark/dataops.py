@@ -1941,3 +1941,86 @@ def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             ).alias("share_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout for multi-dimensional pruning
+# ---------------------------------------------------------------------------
+
+
+def _width_bucket(col, vmin, vmax, bits: int):
+    """Equal-width bucket index in [0, 2^bits) from broadcast min/max
+    columns — pure per-row arithmetic (no summation anywhere), so the
+    result is bit-identical across engines."""
+    n = 1 << bits
+    scaled = (col.cast("double") - vmin) / (vmax - vmin) * F.lit(float(n))
+    b = F.least(F.floor(scaled), F.lit(n - 1)).cast("int")
+    return F.when(vmax == vmin, F.lit(0)).otherwise(
+        F.greatest(b, F.lit(0))
+    )
+
+
+def zorder_value(bucket_cols: list, bits: int):
+    """Morton/Z-value: interleave the bits of per-dimension bucket
+    indices — bit j of dimension i lands at position j*ndims + i. All
+    static shifts/masks: whole-stage-codegen JVM integer math."""
+    nd = len(bucket_cols)
+    if bits * nd > 62:
+        raise ValueError("bits * ndims must stay within a signed long")
+    z = F.lit(0).cast("long")
+    for i, bc in enumerate(bucket_cols):
+        for b in range(bits):
+            bit = F.shiftright(bc.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * nd + i)
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 16,
+) -> DataFrame:
+    """Z-order data layout — the multi-dimensional answer to 'which
+    column do I sort by': rows close in EVERY listed dimension land in
+    the same files, so parquet min/max stats prune a box predicate on
+    ANY subset of the dimensions (a single-column sort only prunes its
+    own column; every other dimension's range spans every file).
+    Standard practice for 100 TB lakehouse tables (Delta/Iceberg
+    `OPTIMIZE ZORDER BY`); Spark has no built-in, so this composes
+    one from primitives:
+
+      1. per-dimension equal-width bucket from a broadcast min/max agg
+         (one tiny extra agg, map-only after it — equal-FREQUENCY
+         binning via distributed_ntile is the upgrade under heavy
+         skew);
+      2. Morton interleave of the bucket bits (JVM integer math);
+      3. repartitionByRange + sortWithinPartitions on the z-value —
+         one range exchange, no global sort.
+
+    Returns the input plus `zvalue`, partitioned and sorted for a
+    direct `.write.parquet()`.
+    """
+    stats = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            )
+        ]
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    buckets = [
+        _width_bucket(
+            F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
+        )
+        for c in cols
+    ]
+    keyed = with_stats.withColumn(
+        "zvalue", zorder_value(buckets, bits)
+    ).drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    return keyed.repartitionByRange(num_files, "zvalue").sortWithinPartitions(
+        "zvalue"
+    )

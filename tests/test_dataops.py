@@ -997,3 +997,48 @@ def test_key_skew_stats_orders_and_shares(spark):
         (1, "a", 6), (2, "b", 3),
     ]
     assert rows[0]["share_pct"] == 60.0
+
+
+def test_zorder_layout_clusters_box_queries(spark, tmp_path):
+    """The point of zorder_layout: rows matching a box predicate on
+    BOTH dimensions live in few files, so stats-based readers prune.
+    A single-column sort clusters only its own column — a narrow
+    filter on the OTHER dimension touches every file."""
+    rows = [(float(i % 100), float((i // 100) % 100)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    zpath = str(tmp_path / "zsorted")
+    lpath = str(tmp_path / "xsorted")
+    dataops.zorder_layout(df, ["x", "y"], bits=6, num_files=16).write.parquet(zpath)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def files_touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    pred = (F.col("y") >= 10.0) & (F.col("y") < 20.0)  # narrow in y only
+    z_files = files_touched(zpath, pred)
+    l_files = files_touched(lpath, pred)
+    assert l_files == 16          # x-sort spreads y everywhere
+    assert z_files <= l_files // 2  # z-order confines the y-band
+
+    # and the layout loses no rows
+    assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_zorder_value_interleaves_bits(spark):
+    df = spark.createDataFrame([(5, 3)], "a int, b int")  # 101, 011
+    z = df.select(
+        dataops.zorder_value([F.col("a"), F.col("b")], bits=3).alias("z")
+    ).collect()[0]["z"]
+    # bit j of dim i -> position j*2+i: a=101,b=011 -> z = 0b011011 +
+    # check by direct formula
+    want = sum(((5 >> j) & 1) << (2 * j) for j in range(3)) + sum(
+        ((3 >> j) & 1) << (2 * j + 1) for j in range(3)
+    )
+    assert z == want
