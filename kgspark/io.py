@@ -218,6 +218,44 @@ class TableIO:
         self._store_manifest(table, manifest)
         return expired
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        num_files: int | None = None,
+        target_rows_per_file: int = 4_000_000,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Iceberg `rewrite_data_files` analog: rewrite the table's
+        accumulated state (last full snapshot + later append deltas)
+        as ONE full snapshot with a controlled file count — the
+        small-file maintenance op every append-heavy 100 TB table
+        needs, because each streaming/incremental commit adds files
+        and scan cost grows with file count, not data size.
+
+        The compacted commit's mode is 'compact' (a FULL rewrite), so
+        the accumulated set collapses to it and the superseded deltas
+        become expirable by expire_snapshots — same two-step contract
+        as Iceberg (rewrite, then expire). Returns the new snapshot id.
+        """
+        snaps = self.accumulated_snapshots(table)
+        df = spark.read.parquet(*[s["path"] for s in snaps])
+        if num_files is None:
+            n = df.count()
+            num_files = max(1, -(-n // target_rows_per_file))
+        out = df.repartition(num_files)
+        return self.commit(
+            table,
+            out,
+            input_snapshot=snaps[-1]["id"],
+            partition_by=partition_by,
+            metadata={
+                "mode": "compact",
+                "compacted_from": [s["id"] for s in snaps],
+                "num_files": num_files,
+            },
+        )
+
     def clear_all(self) -> None:
         """Drop every table in the warehouse (reference clear_all,
         kg_builder.py:175-187)."""

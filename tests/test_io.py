@@ -179,3 +179,37 @@ def test_expire_preserves_accumulated_append_snapshots(spark, tmp_path):
     assert expired == ["s0000"]                         # only old full
     acc = {r["v"] for r in io.read_accumulated(spark, "t").collect()}
     assert acc == {1, 2, 3}
+
+
+def test_compact_collapses_appends_and_frees_deltas(spark, tmp_path):
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    base = spark.range(0, 100).withColumnRenamed("id", "k")
+    io.commit("t", base)
+    for lo in (100, 200, 300):
+        io.commit(
+            "t",
+            spark.range(lo, lo + 100).withColumnRenamed("id", "k"),
+            metadata={"mode": "append"},
+        )
+    before = sorted(r["k"] for r in io.read_accumulated(spark, "t").collect())
+    assert len(io.accumulated_snapshots("t")) == 4
+
+    snap = io.compact(spark, "t", num_files=2)
+    # accumulated state collapses to the compacted snapshot alone
+    acc = io.accumulated_snapshots("t")
+    assert [s["id"] for s in acc] == [snap]
+    after = sorted(r["k"] for r in io.read_accumulated(spark, "t").collect())
+    assert after == before == list(range(400))
+    # controlled file count
+    import glob
+
+    files = glob.glob(f"{acc[0]['path']}/part-*.parquet")
+    assert len(files) == 2
+    # superseded deltas are now expirable without losing live data
+    expired = io.expire_snapshots("t", keep_last=1)
+    assert len(expired) == 4
+    assert sorted(
+        r["k"] for r in io.read_accumulated(spark, "t").collect()
+    ) == list(range(400))
