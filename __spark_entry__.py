@@ -1258,6 +1258,62 @@ def _q_zorder_cells(spark, sf_dir):
     return keyed.groupBy("zvalue").agg(F.count("*").alias("n_events"))
 
 
+def _q_streaming_join(spark, sf_dir):
+    """Stream-stream inner join through the driver contract (rows-
+    only: streaming): crawl pages and async per-url annotations land
+    as two file streams; watermarked, event-time-bounded join
+    (streaming.join_pages_with_annotations) — the bound is what lets
+    Spark evict join state, keeping per-key state finite on unbounded
+    streams. Deterministic: one in-bound annotation per url, one
+    out-of-bound (dropped), batch-equality pytest carries the
+    correctness load."""
+    import datetime as dt  # noqa: PLC0415
+
+    from kgspark import streaming
+    from kgspark.fixtures import pages_df
+
+    tmp = _tmp_dir("stream_join_q")
+    landing, ann_dir = f"{tmp}/landing", f"{tmp}/ann"
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+    marker = f"{tmp}/seeded"
+    if not os.path.exists(marker):
+        pages = pages_df(spark, 100)
+        pages.coalesce(1).write.mode("append").parquet(landing)
+        anns = pages.select(
+            "url",
+            (F.col("warc_ts") + F.expr("interval 5 minutes")).alias(
+                "ann_ts"
+            ),
+            F.lit(0.9).alias("quality"),
+        ).unionByName(
+            pages.limit(10).select(
+                "url",
+                (F.col("warc_ts") + F.expr("interval 2 hours")).alias(
+                    "ann_ts"
+                ),
+                F.lit(0.1).alias("quality"),
+            )
+        )
+        anns.coalesce(1).write.mode("append").parquet(ann_dir)
+        open(marker, "w").close()
+    streaming.run_to_parquet(
+        streaming.join_pages_with_annotations(
+            streaming.stream_pages(spark, landing),
+            streaming.stream_annotations(spark, ann_dir),
+        ),
+        out, ckpt,
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_joined"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1324,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_triples": _q_streaming_triples,
         "streaming_source_stats": _q_streaming_source_stats,  # stateful
         "streaming_lang_windows": _q_streaming_lang_windows,  # watermark
+        "streaming_join": _q_streaming_join,  # stream-stream join
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,
         "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest

@@ -261,3 +261,54 @@ def stream_pages_to_warehouse(
             "stopping — re-run to resume from the checkpoint"
         )
     return committed
+
+
+ANNOTATIONS_DDL = "url string, ann_ts timestamp, quality double"
+
+
+def stream_annotations(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of per-url annotation records (e.g. an
+    asynchronous quality-classifier's output landing separately from
+    the crawl itself)."""
+    reader = spark.readStream.schema(ANNOTATIONS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
+
+
+def join_pages_with_annotations(
+    pages_stream: DataFrame,
+    ann_stream: DataFrame,
+    watermark: str = "10 minutes",
+    join_bound: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each crawled page matched with the
+    annotation records that arrive for its url within `join_bound` of
+    the crawl time — the two-live-streams shape (crawler + async
+    classifier) that a static-side join can't express.
+
+    Both sides are watermarked and the join carries an explicit event-
+    time bound (`ann_ts` in [warc_ts, warc_ts + join_bound]); that
+    pair is what lets Spark EVICT join state — without it, stream-
+    stream join state grows forever, the canonical unbounded-state
+    mistake at scale. State per key is bounded by watermark +
+    join_bound regardless of stream length.
+
+    Output: (url, warc_ts, ann_ts, lang, quality), append-mode."""
+    p = pages_stream.select("url", "warc_ts", "lang").withWatermark(
+        "warc_ts", watermark
+    )
+    a = ann_stream.withColumnRenamed("url", "ann_url").withWatermark(
+        "ann_ts", watermark
+    )
+    cond = F.expr(
+        "url = ann_url AND "
+        f"ann_ts >= warc_ts AND ann_ts <= warc_ts + interval {join_bound}"
+    )
+    return p.join(a, cond, "inner").select(
+        "url", "warc_ts", "ann_ts", "lang", "quality"
+    )

@@ -267,3 +267,61 @@ def test_stream_to_warehouse_exactly_once(spark, landing, tmp_path):
     pipe.run_append(spark, None, "post-stream-merge")
     triples = pipe.io.read(spark, "kg_edges")
     assert triples.count() > 0
+
+
+def test_stream_stream_join_matches_batch(spark, landing, tmp_path):
+    """Stream-stream inner join (pages x annotations, watermarked,
+    event-time-bounded) must emit exactly what the equivalent batch
+    join computes on the same inputs."""
+    ann_dir = str(tmp_path / "ann_landing")
+    pages = spark.read.parquet(landing)
+    # annotations: one inside the 30-min bound per url, one outside,
+    # and one for an unknown url
+    anns = pages.select(
+        "url",
+        (F.col("warc_ts") + F.expr("interval 5 minutes")).alias("ann_ts"),
+        F.lit(0.9).alias("quality"),
+    ).unionByName(
+        pages.limit(5).select(
+            "url",
+            (F.col("warc_ts") + F.expr("interval 2 hours")).alias("ann_ts"),
+            F.lit(0.1).alias("quality"),
+        )
+    ).unionByName(
+        spark.createDataFrame(
+            [("http://nowhere.example/none", dt.datetime(2024, 1, 1), 0.5)],
+            streaming.ANNOTATIONS_DDL,
+        )
+    )
+    anns.coalesce(1).write.parquet(ann_dir)
+
+    out = str(tmp_path / "joined")
+    ckpt = str(tmp_path / "ckpt")
+    joined = streaming.join_pages_with_annotations(
+        streaming.stream_pages(spark, landing),
+        streaming.stream_annotations(spark, ann_dir),
+    )
+    streaming.run_to_parquet(joined, out, ckpt)
+    got = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("url", "ann_ts", "quality").collect())
+    )
+
+    batch_anns = spark.read.parquet(ann_dir)
+    expect = sorted(
+        map(
+            tuple,
+            pages.alias("p")
+            .join(
+                batch_anns.alias("a"),
+                F.expr(
+                    "p.url = a.url AND a.ann_ts >= p.warc_ts "
+                    "AND a.ann_ts <= p.warc_ts + interval 30 minutes"
+                ),
+            )
+            .select("p.url", "a.ann_ts", "a.quality")
+            .collect(),
+        )
+    )
+    assert got == expect
+    assert len(got) == pages.count()  # in-bound ann per url; late ones dropped
