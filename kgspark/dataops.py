@@ -2024,3 +2024,58 @@ def zorder_layout(
     return keyed.repartitionByRange(num_files, "zvalue").sortWithinPartitions(
         "zvalue"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against the materialized corpus fingerprint table
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    io,
+    spark,
+    new_docs: DataFrame,
+    table: str = "corpus_fingerprints",
+) -> DataFrame:
+    """Dedupe an INCOMING batch against everything already ingested
+    WITHOUT rescanning the corpus — the incremental form of
+    exact_dedup: prior batches' fingerprints are a materialized
+    append-mode TableIO table; the new batch joins against that (tiny
+    relative to the corpus text) instead of the corpus itself.
+
+    Semantics: first-writer-wins by arrival — a document whose
+    normalized-text fingerprint was ever ingested is dropped; within
+    one batch the lowest doc_id survives (same tie-break as
+    exact_dedup). Survivors' fingerprints are appended, so calls
+    compose: N appends see exactly the union of all prior survivors.
+
+    Scale shape: fingerprints are one md5 per doc (map-only); the
+    dedup joins shuffle on the fingerprint hash — uniformly
+    distributed by construction, no skew. Per-append cost is
+    O(batch + fingerprint-table), never O(corpus text). Compact the
+    fingerprint table periodically (TableIO.compact) to keep its file
+    count flat.
+
+    Returns the surviving rows of new_docs (all original columns).
+    """
+    fps = fingerprints(new_docs.select("doc_id", "text"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch_keep = (
+        fps.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
+    try:
+        seen = io.read_accumulated(spark, table).select("fingerprint")
+        fresh = batch_keep.join(seen, "fingerprint", "left_anti")
+    except FileNotFoundError:
+        fresh = batch_keep
+    fresh = fresh.localCheckpoint(eager=True)
+    io.commit(
+        table,
+        fresh.select("fingerprint"),
+        metadata={"mode": "append"},
+    )
+    return new_docs.join(fresh.select("doc_id"), "doc_id", "left_semi")

@@ -1042,3 +1042,30 @@ def test_zorder_value_interleaves_bits(spark):
         ((3 >> j) & 1) << (2 * j + 1) for j in range(3)
     )
     assert z == want
+
+
+def test_incremental_exact_dedup_composes_across_batches(spark, tmp_path):
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(0, "alpha text"), (1, "alpha text"), (2, "beta text")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "alpha text"), (4, "gamma text"), (5, "gamma text")],
+        "doc_id long, text string",
+    )
+    k1 = sorted(r["doc_id"] for r in
+                dataops.incremental_exact_dedup(io, spark, b1).collect())
+    k2 = sorted(r["doc_id"] for r in
+                dataops.incremental_exact_dedup(io, spark, b2).collect())
+    assert k1 == [0, 2]        # in-batch dup 1 dropped
+    assert k2 == [4]           # 3 seen in batch 1; in-batch dup 5 dropped
+    # survivors equal the global dedup keep-count on the union corpus
+    union = b1.unionByName(b2)
+    global_keeps = dataops.exact_dedup(union).count()
+    assert len(k1) + len(k2) == global_keeps
+    # idempotent on replayed batch: everything already seen
+    k2b = dataops.incremental_exact_dedup(io, spark, b2).collect()
+    assert k2b == []
