@@ -1314,6 +1314,39 @@ def _q_streaming_join(spark, sf_dir):
     )
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup through the driver contract (rows-only:
+    warehouse-stateful): the documents table arrives as two appends
+    (doc_id < 250, then the rest); each batch dedupes against the
+    materialized fingerprint table only — never the prior batches'
+    text (kgspark.dataops.incremental_exact_dedup). Emits per-batch
+    survivor counts plus a parity flag vs the one-shot global dedup
+    of the full table; the composition pytest carries the contract."""
+    from kgspark.dataops import exact_dedup, incremental_exact_dedup
+    from kgspark.io import TableIO
+
+    docs = _read(spark, sf_dir, "documents")
+    tmp = _tmp_dir("incr_dedup_q")
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(tmp, ignore_errors=True)  # fresh warehouse per run
+    io = TableIO(f"{tmp}/wh")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    k1 = incremental_exact_dedup(io, spark, b1).count()
+    k2 = incremental_exact_dedup(io, spark, b2).count()
+    global_keeps = exact_dedup(docs).count()
+    return spark.createDataFrame(
+        [
+            ("batch1", int(k1)),
+            ("batch2", int(k2)),
+            ("global", int(global_keeps)),
+            ("parity", int(k1 + k2 == global_keeps)),
+        ],
+        "measure string, n bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1384,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,
         "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest
+        "incremental_dedup": _q_incremental_dedup,  # rows-only; parity flag
         "kg_pagerank": _q_kg_pagerank,  # rows-only; 1e-12 pytest vs reference
         # round-3 additions (all SQL-checked)
         "kmeans_clusters": _q_kmeans_clusters,  # unrolled-Lloyd oracle

@@ -1069,3 +1069,29 @@ def test_incremental_exact_dedup_composes_across_batches(spark, tmp_path):
     # idempotent on replayed batch: everything already seen
     k2b = dataops.incremental_exact_dedup(io, spark, b2).collect()
     assert k2b == []
+
+
+def test_scale_plan_shapes_bloom_and_zorder(spark):
+    """Plan-level guards for the r3 layout/filter ops: the bloom probe
+    must stay a broadcast join (never a shuffled join on the word
+    table), and zorder_layout must plan a range exchange with no
+    global sort or sort-merge join."""
+    members = spark.range(0, 200).withColumnRenamed("id", "k")
+    bloom = dataops.bloom_build(members, "k", m_bits=1 << 12, k_hashes=4)
+    probe_plan = dataops.bloom_probe(
+        spark.range(0, 1000).withColumnRenamed("id", "k"), "k", bloom,
+        m_bits=1 << 12, k_hashes=4,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in probe_plan
+    assert "SortMergeJoin" not in probe_plan
+
+    df = spark.createDataFrame(
+        [(float(i % 50), float(i // 50)) for i in range(1000)],
+        "x double, y double",
+    )
+    z_plan = dataops.zorder_layout(df, ["x", "y"], bits=4, num_files=4)
+    zs = z_plan._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in zs.lower()
+    assert "SortMergeJoin" not in zs
+    # the min/max stats side rides in as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in zs or "BroadcastHashJoin" in zs
