@@ -1347,6 +1347,26 @@ def _q_incremental_dedup(spark, sf_dir):
     )
 
 
+def _q_kg_communities(spark, sf_dir):
+    """Label-propagation communities over the constructed KG (rows-
+    only: iterative; determinism + clique-separation pytest carry
+    correctness). Returns the 10 largest communities (label = smallest
+    member id by the tie-break, size)."""
+    from kgspark.cc import label_propagation
+
+    frames = _kg_frames(spark, sf_dir)
+    edges = frames["kg_edges"].select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    labels = label_propagation(edges, iterations=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), "label")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1419,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest
         "incremental_dedup": _q_incremental_dedup,  # rows-only; parity flag
         "kg_pagerank": _q_kg_pagerank,  # rows-only; 1e-12 pytest vs reference
+        "kg_communities": _q_kg_communities,  # rows-only; LPA pytest
         # round-3 additions (all SQL-checked)
         "kmeans_clusters": _q_kmeans_clusters,  # unrolled-Lloyd oracle
         "tfidf_top_terms": _q_tfidf_top_terms,

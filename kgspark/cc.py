@@ -292,3 +292,64 @@ def triangle_count(
         [(int(n_nodes), int(n_edges), int(tri))],
         "n_nodes bigint, n_edges bigint, n_triangles bigint",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection — the
+    lightweight communities op completing the graph-analytics set
+    (connected_components finds REACHABILITY; LPA finds DENSITY
+    clusters inside one component). Deterministic by construction so
+    results are reproducible across runs/cluster sizes:
+
+      * labels start as node ids;
+      * every round each node adopts the most frequent label among
+        itself + neighbors (self-vote damps the classic synchronous
+        two-coloring oscillation), ties broken by SMALLEST label;
+      * fixed iteration count, `localCheckpoint` per round (same
+        iterative discipline as connected_components/pagerank).
+
+    Per round: one join (neighbor label lookup, shuffles on node) and
+    two hash aggs ((node, label) counts -> per-node argmax) — all
+    partial-aggregated map-side; a hot node concentrates only its agg
+    key, which map-side combine absorbs.
+
+    Returns (node, label); nodes sharing a label form a community.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    und = und.localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        neighbor_votes = und.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label").alias("nl")
+            ),
+            "b",
+        ).select(F.col("a").alias("node"), F.col("nl").alias("label"))
+        votes = neighbor_votes.union(labels.select("node", "label"))
+        counted = votes.groupBy("node", "label").agg(
+            F.count("*").alias("cnt")
+        )
+        # argmax with (cnt desc, label asc) tie-break, label-type-
+        # agnostic (KG labels are entity-name strings): max cnt via a
+        # window on the same partitioning the agg just produced, then
+        # min label among the maxima — one exchange total per round.
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy("node")
+        labels = (
+            counted.withColumn("__bc", F.max("cnt").over(w))
+            .filter(F.col("cnt") == F.col("__bc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

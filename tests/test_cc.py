@@ -232,3 +232,33 @@ def test_triangle_count_star_has_none(spark):
     )
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == 0 and row["n_nodes"] == 8
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_separates_cliques(spark):
+    from kgspark.cc import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, 10).collect()}
+    a_labels = {got[n] for n in (0, 1, 2)}
+    b_labels = {got[n] for n in (11, 12, 13)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_label_propagation_deterministic(spark):
+    from kgspark.cc import label_propagation
+
+    edges = [((i * 3) % 17, (i * 7 + 1) % 17) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = sorted(map(tuple, label_propagation(df, 5).collect()))
+    r2 = sorted(map(tuple, label_propagation(df.repartition(7), 5).collect()))
+    assert r1 == r2
