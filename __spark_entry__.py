@@ -1066,27 +1066,9 @@ def _q_part_triangles(spark, sf_dir):
     count is orientation-invariant). The co-order self-join shuffles
     on orderkey with per-order fanout C(items, 2), bounded by order
     size — never all-pairs over parts."""
-    from kgspark.cc import triangle_count
+    from kgspark.cc import co_order_pairs, triangle_count
 
-    lp = (
-        _read(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                F.col("a.l_partkey") < F.col("b.l_partkey"),
-            ],
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    pairs = co_order_pairs(_read(spark, sf_dir, "lineitem"))
     return triangle_count(pairs, orient="degree")
 
 
@@ -1736,6 +1718,9 @@ def _kmeans_cluster_sql(k: int = 4, dim: int = 64) -> str:
               WHERE rn = 1)"""
 
     def update_block(i: int) -> str:
+        # LEFT JOIN back to the previous centroid set: an emptied cell
+        # keeps its prior centroid (kmeans_train: cents[c] fallback),
+        # instead of silently disappearing from the oracle
         return f"""
             m{i} AS (
               SELECT a.cell, r.range AS pos,
@@ -1743,8 +1728,11 @@ def _kmeans_cluster_sql(k: int = 4, dim: int = 64) -> str:
               FROM a{i} a, range(1, {dim + 1}) r
               GROUP BY a.cell, r.range),
             cents{i} AS (
-              SELECT cell, list(v ORDER BY pos) AS cv
-              FROM m{i} GROUP BY cell)"""
+              SELECT p.cell, coalesce(u.cv, p.cv) AS cv
+              FROM cents{i - 1} p
+              LEFT JOIN (SELECT cell, list(v ORDER BY pos) AS cv
+                         FROM m{i} GROUP BY cell) u
+                ON u.cell = p.cell)"""
 
     return f"""
             WITH cents0 AS (

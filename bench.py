@@ -392,25 +392,12 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         timed("kg_analytics", kg_analytics)
 
         def graph_mining():
-            from kgspark.cc import triangle_count  # noqa: PLC0415
+            from kgspark.cc import co_order_pairs, triangle_count  # noqa: PLC0415
             from kgspark.dataops import kmeans_train  # noqa: PLC0415
 
-            lp = read("lineitem").select("l_orderkey", "l_partkey").distinct()
-            a, b = lp.alias("a"), lp.alias("b")
-            pairs = (
-                a.join(
-                    b,
-                    on=[
-                        F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                        F.col("a.l_partkey") < F.col("b.l_partkey"),
-                    ],
-                )
-                .select(
-                    F.col("a.l_partkey").alias("src"),
-                    F.col("b.l_partkey").alias("dst"),
-                )
-            )
-            triangle_count(pairs, orient="degree").count()
+            triangle_count(
+                co_order_pairs(read("lineitem")), orient="degree"
+            ).count()
             kmeans_train(read("embeddings"), k=16, n_iter=3)
 
         timed("graph_mining", graph_mining)

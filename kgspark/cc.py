@@ -215,6 +215,30 @@ def pagerank(
     return ranks
 
 
+def co_order_pairs(lineitem: DataFrame) -> DataFrame:
+    """Co-occurrence edge list: two parts appearing in the same order
+    (src < dst). Shared by the part_triangles driver query and the
+    bench graph_mining segment so the benchmarked plan IS the
+    oracle-checked plan. Shuffles once on orderkey; per-order fanout
+    is C(items, 2), bounded by order size — never all-pairs over
+    parts."""
+    lp = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -339,9 +363,11 @@ def label_propagation(
             F.count("*").alias("cnt")
         )
         # argmax with (cnt desc, label asc) tie-break, label-type-
-        # agnostic (KG labels are entity-name strings): max cnt via a
-        # window on the same partitioning the agg just produced, then
-        # min label among the maxima — one exchange total per round.
+        # agnostic (KG labels are entity-name strings). Three
+        # exchanges per round: the neighbor join on b, the vote agg on
+        # (node, label), and this window on node (hash([node, label])
+        # does not satisfy a [node] clustering, so the window
+        # re-shuffles) — all over small (node, label) rows, never text.
         from pyspark.sql import Window  # noqa: PLC0415
 
         w = Window.partitionBy("node")

@@ -1650,11 +1650,18 @@ def tfidf_top_terms(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("term"),
     )
+    # n_docs is a parquet metadata count; the TEXT is tokenized once:
+    # the per-(doc, term) count table is materialized (eager local
+    # checkpoint) so the tf and df branches both read it instead of
+    # each re-running the explode over the corpus
     n_docs = documents.count()
-    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
-    df_tbl = toks.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
+    per_doc = (
+        toks.groupBy("doc_id", "grp", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    tf = per_doc.groupBy("grp", "term").agg(F.sum("c").alias("tf"))
+    df_tbl = per_doc.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(df_tbl, "term").select(
         "grp",
         "term",
@@ -1907,8 +1914,11 @@ def bloom_probe(
             ).alias("hit"),
         )
     )
+    # a key appearing r times in df yields r*k_hashes probe rows;
+    # pass iff EVERY row's bit is set (min over hits), never
+    # sum==k_hashes, which would false-negative all duplicated keys
     return probes.groupBy(key_col).agg(
-        (F.sum(F.col("hit").cast("int")) == k_hashes).alias("pass")
+        (F.min(F.col("hit").cast("int")) == 1).alias("pass")
     )
 
 
@@ -1924,8 +1934,10 @@ def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
 
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count("*").alias("n_rows")
-    )
-    total = df.agg(F.count("*").alias("__total"))
+    ).localCheckpoint(eager=True)
+    # total derives from the per-key counts (null keys included) — the
+    # input is scanned exactly once
+    total = counts.agg(F.sum("n_rows").alias("__total"))
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
     return (
         counts.orderBy(F.desc("n_rows"), F.asc("key"))
@@ -2036,6 +2048,7 @@ def incremental_exact_dedup(
     spark,
     new_docs: DataFrame,
     table: str = "corpus_fingerprints",
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Dedupe an INCOMING batch against everything already ingested
     WITHOUT rescanning the corpus — the incremental form of
@@ -2048,6 +2061,14 @@ def incremental_exact_dedup(
     one batch the lowest doc_id survives (same tie-break as
     exact_dedup). Survivors' fingerprints are appended, so calls
     compose: N appends see exactly the union of all prior survivors.
+
+    Crash-replay safety: the fingerprint commit is keyed by a
+    batch_id (caller-supplied, else derived from the batch's
+    fingerprint content), and a replay of the same batch excludes its
+    own prior commit from the seen set — so if the caller crashed
+    after this function but before persisting the survivors, re-
+    running yields the SAME survivors (not []), closing the window
+    where documents would be fingerprint-burned but never ingested.
 
     Scale shape: fingerprints are one md5 per doc (map-only); the
     dedup joins shuffle on the fingerprint hash — uniformly
@@ -2067,15 +2088,47 @@ def incremental_exact_dedup(
         .filter(F.col("__rn") == 1)
         .select("doc_id", "fingerprint")
     )
+    if batch_id is None:
+        # content-derived batch identity: xor of the portable 64-bit
+        # fingerprint hashes — one tiny agg over the already-computed
+        # fingerprint column, order-independent and deterministic
+        row = batch_keep.agg(
+            F.bit_xor(_seeded_hash64(F.col("fingerprint"), 0, "md5")).alias(
+                "x"
+            ),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        batch_id = f"b{row['n']}x{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    manifest_snaps = []
     try:
-        seen = io.read_accumulated(spark, table).select("fingerprint")
-        fresh = batch_keep.join(seen, "fingerprint", "left_anti")
+        manifest_snaps = io.accumulated_snapshots(table)
     except FileNotFoundError:
+        pass
+    prior = [
+        s
+        for s in manifest_snaps
+        if s.get("metadata", {}).get("batch_id") == batch_id
+    ]
+    seen_paths = [
+        s["path"]
+        for s in manifest_snaps
+        if s.get("metadata", {}).get("batch_id") != batch_id
+    ]
+    if seen_paths:
+        seen = spark.read.parquet(*seen_paths).select("fingerprint")
+        fresh = batch_keep.join(seen, "fingerprint", "left_anti")
+    else:
         fresh = batch_keep
     fresh = fresh.localCheckpoint(eager=True)
-    io.commit(
-        table,
-        fresh.select("fingerprint"),
-        metadata={"mode": "append"},
-    )
+    if not prior:
+        # committed AFTER survivors are pinned; a crash-and-replay of
+        # the same batch excludes its own earlier commit from the seen
+        # set (batch_id-keyed, like the streaming sink's batch ids), so
+        # replay returns the SAME survivors instead of [] — no window
+        # where documents are fingerprint-burned but never ingested
+        io.commit(
+            table,
+            fresh.select("fingerprint"),
+            metadata={"mode": "append", "batch_id": batch_id},
+        )
     return new_docs.join(fresh.select("doc_id"), "doc_id", "left_semi")

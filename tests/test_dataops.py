@@ -1066,9 +1066,12 @@ def test_incremental_exact_dedup_composes_across_batches(spark, tmp_path):
     union = b1.unionByName(b2)
     global_keeps = dataops.exact_dedup(union).count()
     assert len(k1) + len(k2) == global_keeps
-    # idempotent on replayed batch: everything already seen
-    k2b = dataops.incremental_exact_dedup(io, spark, b2).collect()
-    assert k2b == []
+    # replaying the same batch is idempotent-with-results: the same
+    # survivors come back (batch-id-keyed commit), never [] — see
+    # test_incremental_dedup_replay_after_crash_returns_survivors
+    k2b = sorted(r["doc_id"] for r in
+                 dataops.incremental_exact_dedup(io, spark, b2).collect())
+    assert k2b == k2
 
 
 def test_scale_plan_shapes_bloom_and_zorder(spark):
@@ -1095,3 +1098,92 @@ def test_scale_plan_shapes_bloom_and_zorder(spark):
     assert "SortMergeJoin" not in zs
     # the min/max stats side rides in as a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in zs or "BroadcastHashJoin" in zs
+
+
+def test_bloom_probe_duplicated_member_keys_still_pass(spark):
+    """Regression: a member key appearing r times yields r*k probe
+    rows; the pass rule must be per-row min, not a sum==k count, or
+    every duplicated member false-negatives (fact tables ALWAYS have
+    duplicate join keys)."""
+    members = spark.range(0, 50).withColumnRenamed("id", "k")
+    bloom = dataops.bloom_build(members, "k", m_bits=1 << 12, k_hashes=4)
+    dup_probes = spark.createDataFrame(
+        [(k,) for k in range(50) for _ in range(3)], "k long"
+    )
+    res = dataops.bloom_probe(
+        dup_probes, "k", bloom, m_bits=1 << 12, k_hashes=4
+    )
+    assert all(r["pass"] for r in res.collect())
+    assert res.count() == 50
+
+
+def test_incremental_dedup_replay_after_crash_returns_survivors(spark, tmp_path):
+    """Regression: if the caller crashes after the fingerprint commit
+    but before persisting the survivors, replaying the SAME batch must
+    return the same survivors (batch-id-keyed commit), not [] — else
+    the documents are fingerprint-burned and lost forever."""
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(0, "first text"), (1, "second text")], "doc_id long, text string"
+    )
+    k1 = sorted(r["doc_id"] for r in
+                dataops.incremental_exact_dedup(io, spark, b1).collect())
+    assert k1 == [0, 1]
+    # simulate the crash-replay: same batch again
+    k1b = sorted(r["doc_id"] for r in
+                 dataops.incremental_exact_dedup(io, spark, b1).collect())
+    assert k1b == k1
+    # no duplicate fingerprint commit happened
+    assert len(io.accumulated_snapshots("corpus_fingerprints")) == 1
+    # and a DIFFERENT batch still dedupes against batch 1
+    b2 = spark.createDataFrame(
+        [(2, "first text"), (3, "third text")], "doc_id long, text string"
+    )
+    k2 = sorted(r["doc_id"] for r in
+                dataops.incremental_exact_dedup(io, spark, b2).collect())
+    assert k2 == [3]
+
+
+def test_kmeans_oracle_sql_handles_emptied_cell(spark):
+    """Regression: the unrolled-Lloyd oracle must keep an emptied
+    cell's previous centroid (kmeans_train semantics) instead of
+    dropping it. Repro: vec 3 sits between the two init centroids;
+    after iter 1 update, cell 1 can empty and later re-win."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from kgspark.query import cosine_score
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = dataops.kmeans_train(df, k=2, n_iter=2, vectorized=False)
+    assigned = dataops.ivf_assign(df, cents, vectorized=False)
+    scores = F.array(*[cosine_score(F.col("embedding"), c) for c in cents])
+    got = {
+        r["cell"]: (r["n"], r["avg_cos"])
+        for r in assigned.select(
+            "cell", F.element_at(scores, F.col("cell") + 1).alias("own")
+        ).groupBy("cell").agg(
+            F.count("*").alias("n"), F.round(F.avg("own"), 6).alias("avg_cos")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {v}::DOUBLE[])" for i, v in
+            [(r[0], str(r[1])) for r in rows]
+        )
+        + ") t(vec_id, embedding)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(em._kmeans_cluster_sql(k=2, dim=2)).fetchall()
+    }
+    assert set(got) == set(want)
+    for c in got:
+        assert got[c][0] == want[c][0]
+        assert abs(got[c][1] - want[c][1]) < 1e-9
