@@ -67,7 +67,13 @@ class TableIO:
         input_snapshot: str | None = None,
         partition_by: list[str] | None = None,
         metadata: dict[str, Any] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> str:
+        """Commit a snapshot. With `stats_cols`, per-FILE min/max of
+        those columns are collected into the manifest (one scan of the
+        just-written data) — the Iceberg manifest-stats analog that
+        `read_pruned` uses for file skipping. Pair with a z-ordered or
+        range-partitioned layout so each file covers a narrow range."""
         manifest = self._load_manifest(table)
         snap_id = f"s{len(manifest['snapshots']):04d}"
         path = os.path.join(self.warehouse, table, snap_id)
@@ -75,14 +81,36 @@ class TableIO:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "path": path,
-                "input_snapshot": input_snapshot,
-                "metadata": metadata or {},
+        entry: dict[str, Any] = {
+            "id": snap_id,
+            "path": path,
+            "input_snapshot": input_snapshot,
+            "metadata": metadata or {},
+        }
+        if stats_cols:
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            spark = df.sparkSession
+            aggs = []
+            for c in stats_cols:
+                aggs += [
+                    F.min(c).alias(f"__min_{c}"),
+                    F.max(c).alias(f"__max_{c}"),
+                ]
+            rows = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("__file"))
+                .agg(*aggs)
+                .collect()
+            )
+            entry["file_stats"] = {
+                r["__file"]: {
+                    c: [r[f"__min_{c}"], r[f"__max_{c}"]]
+                    for c in stats_cols
+                }
+                for r in rows
             }
-        )
+        manifest["snapshots"].append(entry)
         manifest["current"] = snap_id
         self._store_manifest(table, manifest)
         return snap_id
@@ -101,6 +129,54 @@ class TableIO:
                 f"table {table} snapshot {snap_id} has been expired"
             )
         return spark.read.parquet(entry["path"])
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates: dict[str, tuple],
+        snapshot: str | None = None,
+    ):
+        """File-skipping read: open ONLY the files whose recorded
+        min/max stats overlap every [lo, hi] in `predicates`
+        ({col: (lo, hi)}), then apply the residual filter — the
+        Iceberg manifest-pruning analog, and the read-side payoff of
+        zorder_layout (each z-sorted file covers a narrow range in
+        every z-dimension, so a box predicate eliminates most files
+        before any IO). Returns (DataFrame, files_read, files_total);
+        falls back to all files for columns without stats.
+        """
+        manifest = self._load_manifest(table)
+        snap_id = snapshot or manifest["current"]
+        if snap_id is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        entry = next(s for s in manifest["snapshots"] if s["id"] == snap_id)
+        stats = entry.get("file_stats")
+        if not stats:
+            raise ValueError(
+                f"snapshot {snap_id} has no file_stats; commit with stats_cols"
+            )
+        keep = []
+        for f, colstats in stats.items():
+            ok = True
+            for c, (lo, hi) in predicates.items():
+                if c in colstats:
+                    mn, mx = colstats[c]
+                    if mn is None or mx is None or mx < lo or mn > hi:
+                        ok = False
+                        break
+            if ok:
+                keep.append(f)
+        total = len(stats)
+        if not keep:
+            df = spark.read.parquet(entry["path"]).limit(0)
+            return df, 0, total
+        df = spark.read.parquet(*keep)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        for c, (lo, hi) in predicates.items():
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df, len(keep), total
 
     def read_all(self, spark: SparkSession, table: str) -> DataFrame:
         """Union of EVERY committed snapshot — the read side of append-

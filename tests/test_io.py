@@ -213,3 +213,36 @@ def test_compact_collapses_appends_and_frees_deltas(spark, tmp_path):
     assert sorted(
         r["k"] for r in io.read_accumulated(spark, "t").collect()
     ) == list(range(400))
+
+
+def test_file_stats_pruning_with_zorder_layout(spark, tmp_path):
+    """End-to-end file skipping: commit a z-ordered table with per-file
+    min/max stats; a box predicate must open only the overlapping
+    files and return exactly the full-scan filter result."""
+    from kgspark.dataops import zorder_layout
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    rows = [(float(i % 100), float((i // 100) % 100), i) for i in range(10000)]
+    df = spark.createDataFrame(rows, "x double, y double, id long")
+    laid = zorder_layout(df, ["x", "y"], bits=6, num_files=16)
+    io.commit("t", laid, stats_cols=["x", "y"])
+
+    pruned, n_read, n_total = io.read_pruned(
+        spark, "t", {"x": (10.0, 19.0), "y": (10.0, 19.0)}
+    )
+    assert n_total == 16
+    assert n_read < n_total // 2      # the box lives in few z-files
+    want = sorted(
+        r["id"]
+        for r in df.filter(
+            (df.x >= 10.0) & (df.x <= 19.0) & (df.y >= 10.0) & (df.y <= 19.0)
+        ).collect()
+    )
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == want and len(got) == 100  # 10x10 box, one row per combo
+
+    # disjoint predicate: zero files opened, empty result, same schema
+    empty, n0, _ = io.read_pruned(spark, "t", {"x": (1000.0, 2000.0)})
+    assert n0 == 0 and empty.count() == 0
+    assert set(empty.columns) == set(pruned.columns)
