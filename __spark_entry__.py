@@ -1349,6 +1349,36 @@ def _q_kg_communities(spark, sf_dir):
     )
 
 
+def _q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank seeded at the KG's highest-degree entity
+    (rows-only: iterative; 1e-12 pytest vs a pure-Python reference).
+    Ranks the seed's neighborhood by walk probability — the principled
+    ordering for the "related to X" surface that k-hop traversal only
+    enumerates. Top-10 by rank."""
+    from kgspark.cc import personalized_pagerank
+
+    frames = _kg_frames(spark, sf_dir)
+    edges = frames["kg_edges"].select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), "n")
+        .limit(1)
+        .collect()
+    )
+    seed = deg[0]["n"]
+    ppr = personalized_pagerank(edges, [seed], iterations=10)
+    return (
+        ppr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
@@ -1422,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,  # rows-only; parity flag
         "kg_pagerank": _q_kg_pagerank,  # rows-only; 1e-12 pytest vs reference
         "kg_communities": _q_kg_communities,  # rows-only; LPA pytest
+        "kg_personalized_pagerank": _q_kg_ppr,  # rows-only; 1e-12 pytest
         # round-3 additions (all SQL-checked)
         "kmeans_clusters": _q_kmeans_clusters,  # unrolled-Lloyd oracle
         "tfidf_top_terms": _q_tfidf_top_terms,

@@ -379,3 +379,77 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the SOURCE set
+    instead of uniformly — 'importance relative to these entities',
+    the principled ranking behind a KG's "related to X" surface (the
+    k-hop traversal returns the neighborhood; PPR orders it).
+
+    Semantics: teleport vector t = 1/|S| on sources, 0 elsewhere;
+    rank = (1-d)*t + d*(in-contributions + dangling_mass*t); ranks
+    sum to 1 every iteration. Same per-round shape and discipline as
+    pagerank (join on src, agg on dst, eager checkpoint, scalar
+    dangling mass as a broadcast 1-row cross join); the teleport
+    column rides on the node table, so personalization adds zero
+    extra shuffles.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = float(len(set(sources)))
+    if s == 0:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    src_df = spark.createDataFrame(
+        [(x,) for x in sorted(set(sources))], nodes.schema
+    ).withColumn("t", F.lit(1.0 / s))
+    nodes = (
+        nodes.join(F.broadcast(src_df), "node", "left")
+        .select("node", F.coalesce("t", F.lit(0.0)).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", "t", F.col("t").alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "outdeg")
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+        )
+        contribs = (
+            e.join(with_deg, e["src"] == with_deg["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "t",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("__dangling") * F.col("t")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

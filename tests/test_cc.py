@@ -262,3 +262,58 @@ def test_label_propagation_deterministic(spark):
     r1 = sorted(map(tuple, label_propagation(df, 5).collect()))
     r2 = sorted(map(tuple, label_propagation(df.repartition(7), 5).collect()))
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _ppr_reference(edges, sources, d=0.85, iters=10):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    t = {n: (1.0 / len(sources) if n in sources else 0.0) for n in nodes}
+    rank = dict(t)
+    for _ in range(iters):
+        dangling = sum(rank[n] for n in nodes if n not in out)
+        contrib = {n: 0.0 for n in nodes}
+        for a, targets in out.items():
+            for b in targets:
+                contrib[b] += rank[a] / len(targets)
+        rank = {
+            n: (1 - d) * t[n] + d * (contrib[n] + dangling * t[n])
+            for n in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    from kgspark.cc import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [0], iterations=10).collect()
+    }
+    want = _ppr_reference(edges, {0})
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    from kgspark.cc import personalized_pagerank
+
+    # two rings joined by one edge: mass should stay near the seeded ring
+    ring_a = [(i, (i + 1) % 5) for i in range(5)]
+    ring_b = [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(ring_a + ring_b + [(4, 10)], "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [0], iterations=15).collect()
+    }
+    assert sum(got[n] for n in range(5)) > sum(got[n] for n in range(10, 15))
