@@ -581,6 +581,40 @@ def _q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(_read(spark, sf_dir, "documents"))
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-level paragraph dedup (4-word windows on
+    this newline-free fixture): drop every copy of any paragraph seen
+    in >=2 distinct docs; the anti-join build side holds ONLY the
+    duplicated-paragraph set, never the corpus."""
+    from kgspark.dataops import paragraph_dedup
+
+    return paragraph_dedup(
+        _read(spark, sf_dir, "documents"),
+        min_docs=2,
+        mode="window",
+        words_per_para=4,
+    )
+
+
+def _q_unigram_lm_score(spark, sf_dir):
+    """CCNet/KenLM-style LM quality gate with the SQL-trainable model:
+    corpus unigram LM -> per-doc avg -log p(w) + perplexity. One
+    explode, two map-side-combinable counts, one join on word."""
+    from kgspark.dataops import unigram_lm_score
+
+    return unigram_lm_score(_read(spark, sf_dir, "documents"))
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """fastText-style hashing-trick linear classifier: bucketed
+    bag-of-words vs a broadcast (bucket, weight) table — the
+    fixed-size-model scoring pattern for 10^12-doc corpora. Weights
+    are a deterministic pseudo-model so the oracle checks end-to-end."""
+    from kgspark.dataops import quality_classifier
+
+    return quality_classifier(_read(spark, sf_dir, "documents"))
+
+
 def _q_winnow_fingerprint(spark, sf_dir):
     """Winnowing (rolling-hash window-min) document sketch, reduced to
     per-doc scalars: fingerprint count + md5 of the sorted fingerprint
@@ -1423,6 +1457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "pii_scrub": _q_pii_scrub,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "unigram_lm_score": _q_unigram_lm_score,
+        "quality_classifier": _q_quality_classifier,
         "value_percentiles": _q_value_percentiles,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_near_dup": _q_winnow_near_dup,
@@ -2060,6 +2097,107 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 6)
                      AS dup_bigram_frac
             FROM word_stats w JOIN bigram_stats b USING (doc_id)
+        """,
+        "paragraph_dedup": f"""
+            -- 4-word-window paragraphs; drop every copy of any
+            -- paragraph seen in >=2 distinct docs (CCNet semantics)
+            WITH base AS (
+              SELECT doc_id, string_split({norm}, ' ') AS words
+              FROM documents
+            ),
+            plist AS (
+              SELECT doc_id,
+                     [array_to_string(words[(i-1)*4+1:(i-1)*4+4], ' ')
+                      for i in range(
+                        1, CAST(ceil(len(words) / 4.0) AS INT) + 1)
+                     ] AS paras
+              FROM base
+            ),
+            paras AS (
+              SELECT doc_id, i - 1 AS pos, paras[i] AS para,
+                     md5(paras[i]) AS para_hash
+              FROM plist, unnest(range(1, len(paras) + 1)) AS t(i)
+            ),
+            dup AS (
+              SELECT para_hash
+              FROM (SELECT DISTINCT para_hash, doc_id FROM paras)
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            kept AS (
+              SELECT doc_id, pos, para FROM paras
+              ANTI JOIN dup USING (para_hash)
+            ),
+            totals AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+              FROM paras GROUP BY 1
+            ),
+            rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(para, chr(10) ORDER BY pos))
+                       AS clean_md5
+              FROM kept GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_paras,
+                   CAST(t.n_paras - COALESCE(r.n_kept, 0) AS BIGINT)
+                     AS n_dropped,
+                   COALESCE(r.clean_md5, md5('')) AS clean_md5
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "unigram_lm_score": f"""
+            WITH words AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split({norm}, ' ')) AS word
+                FROM documents) t
+              WHERE word <> ''
+            ),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM words GROUP BY 1, 2
+            ),
+            lm AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+            tot AS (SELECT sum(c) AS total FROM lm),
+            s AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     sum(tf * -ln(c * 1.0 / total)) / sum(tf) AS anlp
+              FROM tf JOIN lm USING (word), tot GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, round(anlp, 6) AS avg_neg_logp,
+                   round(exp(anlp), 6) AS ppl
+            FROM s
+        """,
+        "quality_classifier": f"""
+            -- same md5/15-hex 64-bit bucket hash as Spark hash_bucket;
+            -- pseudo-weights: Knuth-hash of bucket id mapped to
+            -- ~[-1,1] with a power-of-two denominator (binary-exact,
+            -- so the weighted sum is partition-order-independent)
+            WITH w AS (
+              SELECT i AS bucket,
+                     ((i * 2654435761) % 2049 - 1024) / 1024.0 AS weight
+              FROM range(0, 4096) t(i)
+            ),
+            words AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split({norm}, ' ')) AS word
+                FROM documents) t
+              WHERE word <> ''
+            ),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(word), 1, 15))::BIGINT
+                       % 4096 AS bucket,
+                     count(*) AS tf
+              FROM words GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     sum(tf * weight) / sum(tf) AS raw
+              FROM feats JOIN w USING (bucket) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, round(raw, 6) AS raw_score,
+                   round(1.0 / (1.0 + exp(-raw)), 6) AS quality_prob
+            FROM s
         """,
         "winnow_fingerprint": f"""
             WITH {_winnow_fp_cte(norm)}

@@ -2132,3 +2132,243 @@ def incremental_exact_dedup(
             metadata={"mode": "append", "batch_id": batch_id},
         )
     return new_docs.join(fresh.select("doc_id"), "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level paragraph dedup + LM scoring + model-based quality
+# (CCNet-style cleaning stages; all JVM-side, DuckDB-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _doc_paragraphs(
+    documents: DataFrame,
+    mode: str = "window",
+    delim: str = "\n",
+    words_per_para: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, para) — position-preserving paragraph split.
+
+    mode="delims" splits raw text on `delim` (real corpora: newline
+    paragraphs); mode="window" chops the normalized word stream into
+    fixed `words_per_para`-word windows (the fixture corpus has no
+    newlines, and a fixed window is the common fallback for
+    boilerplate-span removal when paragraph boundaries are unreliable).
+    Both are pure per-row array ops — zero shuffle.
+    """
+    if mode == "delims":
+        paras = F.split(F.col("text"), F.lit(delim), -1)
+    else:
+        words = F.split(norm_text(F.col("text")), " ")
+        k = words_per_para
+
+        def _win(i):
+            return F.array_join(
+                F.slice(words, (i - F.lit(1)) * k + 1, k), " "
+            )
+
+        paras = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size(words) / F.lit(k)).cast("int"),
+            ),
+            _win,
+        )
+    return documents.select(
+        "doc_id", F.posexplode(paras).alias("pos", "para")
+    )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    min_docs: int = 2,
+    mode: str = "window",
+    delim: str = "\n",
+    words_per_para: int = 4,
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph deduplication: drop every
+    copy of any paragraph whose normalized form appears in >= min_docs
+    DISTINCT documents (boilerplate headers/footers/navigation chrome
+    repeat across pages; CCNet removes all copies, which is the
+    semantics here — within-doc repetition alone does not trigger).
+
+    Scale shape: posexplode (zero shuffle) -> distinct (para_hash,
+    doc_id) -> one map-side-combinable count per para_hash -> the
+    DUPLICATED-paragraph set only (typically a small fraction of the
+    corpus) becomes the build side of a left_anti hash join back to
+    the paragraph stream. The anti-join build side never holds unique
+    paragraphs, so at 10^12 docs it is the boilerplate table, not the
+    corpus. Reassembly is one groupBy doc_id with an algebraic
+    collect + array_sort on (pos, para) — per-doc row counts are
+    bounded by document length.
+
+    The reference has no corpus-cleaning stage at all (its flow is
+    chunk->LLM-extract, /root/reference/src/builders/graphrag.py);
+    this is a first-class training-data operator the engine adds.
+
+    Returns (doc_id, n_paras, n_dropped, clean_md5) — clean_md5 is
+    md5 of the surviving paragraphs joined by newline, the compact
+    per-row invariant for the oracle.
+    """
+    paras = _doc_paragraphs(
+        documents, mode=mode, delim=delim, words_per_para=words_per_para
+    ).withColumn("para_hash", F.md5(norm_text(F.col("para"))))
+    dup = (
+        paras.select("para_hash", "doc_id")
+        .distinct()
+        .groupBy("para_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("para_hash")
+    )
+    kept = paras.join(dup, "para_hash", "left_anti")
+    totals = paras.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias(
+                "clean_md5"
+            ),
+        )
+    )
+
+
+def unigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Language-model perplexity filter, unigram edition: train a
+    unigram LM on the corpus itself (count(w)/total) and score each
+    document by its average negative log-probability — the CCNet/KenLM
+    quality gate re-expressed with the model that IS SQL-trainable
+    in-engine. Rare-word-heavy (OOV-ish, gibberish) documents score
+    high; head-vocabulary prose scores low. In production the unigram
+    table is swapped for an external KenLM via the same join shape.
+
+    Scale shape: one explode -> (doc_id, word) counts (map-side
+    combinable) -> global word counts (same) -> one hash join on word
+    between per-doc tf and the corpus LM -> per-doc weighted sum.
+    The LM table has vocabulary cardinality, joined on its key — no
+    broadcast needed, no skew (word frequency skews the COUNTING,
+    which partial aggregation absorbs, not the join fanout: one LM row
+    per word).
+
+    Returns (doc_id, n_tokens, avg_neg_logp, ppl) rounded to 6 dp.
+    """
+    words = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    lm = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("total"))
+    scored = (
+        tf.join(lm, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("c") / F.col("total"))
+                )
+                / F.sum("tf")
+            ).alias("anlp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("anlp", 6).alias("avg_neg_logp"),
+        F.round(F.exp("anlp"), 6).alias("ppl"),
+    )
+
+
+QUALITY_CLF_BUCKETS = 4096
+
+
+def quality_classifier(
+    documents: DataFrame, n_buckets: int = QUALITY_CLF_BUCKETS
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashing-trick
+    bag-of-words features: bucket = hash(word) % n_buckets, score =
+    sigmoid(mean bucket weight). The weight vector here is a
+    deterministic pseudo-model (Knuth-hash of the bucket id mapped to
+    ~[-1, 1]) so the plumbing is oracle-checkable end-to-end; a
+    trained model drops in as the same (bucket, weight) table. The
+    denominator is a power of two so every weight is binary-exact and
+    the weighted sum is order-independent across partitions (a /1000
+    pseudo-weight flipped the 6th rounded decimal between engines).
+
+    Scale shape: explode -> per-(doc, bucket) tf (map-side combinable)
+    -> BROADCAST hash join against the n_buckets-row weight table ->
+    per-doc weighted mean. The weight table is O(n_buckets) regardless
+    of vocabulary or corpus size — this is the pattern that lets a
+    model with millions of features score 10^12 documents with zero
+    shuffle on the corpus side (the only exchange is the per-doc agg).
+
+    Returns (doc_id, n_tokens, raw_score, quality_prob) rounded 6 dp.
+    """
+    spark = documents.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            (F.col("id") * F.lit(2654435761) % F.lit(2049) - F.lit(1024))
+            / F.lit(1024.0)
+        ).alias("weight"),
+    )
+    feats = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id", hash_bucket(F.col("word"), n_buckets).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("weight")) / F.sum("tf")
+            ).alias("raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("raw", 6).alias("raw_score"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw"))), 6
+        ).alias("quality_prob"),
+    )

@@ -1187,3 +1187,97 @@ def test_kmeans_oracle_sql_handles_emptied_cell(spark):
     for c in got:
         assert got[c][0] == want[c][0]
         assert abs(got[c][1] - want[c][1]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning: paragraph dedup / unigram LM / quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_drops_cross_doc_boilerplate(spark):
+    # "nav home about" is the shared boilerplate line; body lines are
+    # unique per doc. CCNet semantics: ALL copies of the shared line
+    # go; unique lines survive; within-doc repetition alone stays.
+    d = spark.createDataFrame(
+        [
+            (0, "nav home about\nunique body zero\nrepeat me\nrepeat me", "en"),
+            (1, "nav home about\nunique body one", "en"),
+            (2, "solo document two", "en"),
+        ],
+        DOCS_DDL,
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dataops.paragraph_dedup(
+            d, min_docs=2, mode="delims", delim="\n"
+        ).collect()
+    }
+    assert got[0]["n_paras"] == 4 and got[0]["n_dropped"] == 1
+    assert got[1]["n_paras"] == 2 and got[1]["n_dropped"] == 1
+    assert got[2]["n_paras"] == 1 and got[2]["n_dropped"] == 0
+    # doc 1's survivor set is exactly its unique body line
+    import hashlib
+
+    assert (
+        got[1]["clean_md5"]
+        == hashlib.md5(b"unique body one").hexdigest()
+    )
+    # within-doc repeats of doc 0 both survive (2 distinct docs needed)
+    assert (
+        got[0]["clean_md5"]
+        == hashlib.md5(
+            b"unique body zero\nrepeat me\nrepeat me"
+        ).hexdigest()
+    )
+
+
+def test_paragraph_dedup_window_mode_positions(spark):
+    # 8 words -> two 4-word windows; second window shared across docs
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d X Y Z W", "en"),
+            (1, "p q r s X Y Z W", "en"),
+        ],
+        DOCS_DDL,
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dataops.paragraph_dedup(
+            d, min_docs=2, mode="window", words_per_para=4
+        ).collect()
+    }
+    for i in (0, 1):
+        assert got[i]["n_paras"] == 2 and got[i]["n_dropped"] == 1
+
+
+def test_unigram_lm_rare_words_score_higher(spark):
+    # doc 3 is all hapax words; docs 0-2 share the head vocabulary.
+    d = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "en"),
+            (1, "the cat ran on the mat", "en"),
+            (2, "the cat sat on the rug", "en"),
+            (3, "zyx wvu tsr qpo nml kji", "en"),
+        ],
+        DOCS_DDL,
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in dataops.unigram_lm_score(d).collect()
+    }
+    assert got[3] > max(got[0], got[1], got[2])
+    # perplexity consistent with the score
+    row = dataops.unigram_lm_score(d).filter(F.col("doc_id") == 3).first()
+    assert abs(row["ppl"] - math.exp(row["avg_neg_logp"])) < 1e-3
+
+
+def test_quality_classifier_deterministic_and_broadcast(spark, docs):
+    out = dataops.quality_classifier(docs.filter(F.col("text") != ""))
+    a = {r["doc_id"]: r["quality_prob"] for r in out.collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in out.collect()}
+    assert a == b and all(0.0 < v < 1.0 for v in a.values())
+    # identical texts get identical scores
+    assert a[0] == a[1]
+    # the weight-table join must be broadcast (fixed-size model side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
