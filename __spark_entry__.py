@@ -1106,6 +1106,18 @@ def _q_part_triangles(spark, sf_dir):
     return triangle_count(pairs, orient="degree")
 
 
+def _q_part_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction over the parts-co-ordered graph:
+    top-20 NON-adjacent part pairs by sum 1/ln(deg) over common
+    neighbors. Wedge self-join on the shared neighbor with a deg<=128
+    hub cap applied before the join; degree table broadcasts;
+    deterministic cut on (rounded score, a, b)."""
+    from kgspark.cc import adamic_adar, co_order_pairs
+
+    pairs = co_order_pairs(_read(spark, sf_dir, "lineitem"))
+    return adamic_adar(pairs, max_deg=128, k=20)
+
+
 def _q_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: yearly revenue from lineitems whose quantity
     is below 20% of their part's average — the aggregated-dimension
@@ -1495,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dataset_split": _q_dataset_split,
         "part_triangles": _q_part_triangles,  # degree-oriented wedge join
+        "part_link_prediction": _q_part_link_prediction,  # Adamic-Adar
         "small_qty_revenue": _q_small_qty_revenue,
         "ntile_spend_buckets": _q_ntile_spend_buckets,  # distributed ntile
         "table_profile": _q_table_profile,
@@ -2624,6 +2637,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT (SELECT n FROM nodes) AS n_nodes,
                (SELECT count(*) FROM e) AS n_edges,
                (SELECT n FROM tri) AS n_triangles
+    """
+    oracles["part_link_prediction"] = """
+        -- Adamic-Adar over the co-order graph, deg<=128 hub cap,
+        -- deterministic top-20 on (rounded score, a, b)
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey),
+        nbr AS (SELECT a AS v, b AS n FROM e
+                UNION ALL SELECT b AS v, a AS n FROM e),
+        deg AS (SELECT n AS hub, count(*) AS deg FROM
+                (SELECT n FROM nbr) GROUP BY 1 HAVING count(*) <= 128),
+        nd AS (SELECT v, n, deg FROM nbr JOIN deg ON nbr.n = deg.hub),
+        wed AS (SELECT x.v AS a, y.v AS b, 1.0 / ln(x.deg) AS w
+                FROM nd x JOIN nd y ON x.n = y.n AND x.v < y.v),
+        cand AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+                        sum(w) AS aa
+                 FROM wed GROUP BY 1, 2),
+        fresh AS (SELECT c.* FROM cand c
+                  ANTI JOIN e ON c.a = e.a AND c.b = e.b)
+        SELECT a AS src, b AS dst, n_common, round(aa, 6) AS aa_score
+        FROM fresh ORDER BY aa_score DESC, src, dst LIMIT 20
     """
     oracles["small_qty_revenue"] = """
         WITH t AS (SELECT l_partkey,

@@ -453,3 +453,81 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_deg: int | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list: for
+    every non-adjacent pair (a, b), score = sum over common neighbors
+    n of 1/ln(deg(n)) — the classic common-neighbor index that
+    down-weights promiscuous hubs. Fourth graph-analytics op next to
+    connected_components / pagerank / triangle_count (entity-pair
+    suggestion over the constructed KG, co-purchase prediction over
+    the order graph).
+
+    Scale shape: edges canonicalize + dedup once; the neighbor table
+    self-joins on the SHARED NEIGHBOR — so fanout is sum(deg(n)^2),
+    the wedge count, never all-pairs over nodes. `max_deg` caps hub
+    fanout (on power-law graphs one celebrity node otherwise emits
+    deg^2 wedges; its per-wedge contribution 1/ln(deg) is the
+    smallest anyway, so the cap trims the noisiest, cheapest signal —
+    the standard mitigation). The degree table is O(nodes) and
+    broadcasts; candidate scoring is one map-side-combinable agg;
+    existing edges leave via a left_anti join; top-k is
+    TakeOrderedAndProject on the ROUNDED score (6 dp) with (a, b)
+    tie-break so the cut is engine-deterministic.
+
+    Returns k rows: (src, dst, n_common, aa_score), src < dst.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy(F.col("n").alias("hub")).agg(
+        F.count("*").alias("deg")
+    )
+    if max_deg is not None:
+        deg = deg.filter(F.col("deg") <= max_deg)
+    # attach the (broadcast) degree of the shared neighbor, dropping
+    # capped hubs BEFORE the wedge self-join so their fanout never
+    # materializes
+    nd = nbr.join(F.broadcast(deg), nbr["n"] == deg["hub"]).select(
+        "v", "n", "deg"
+    )
+    x, y = nd.alias("x"), nd.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.n") == F.col("y.n")) & (F.col("x.v") < F.col("y.v")),
+    ).select(
+        F.col("x.v").alias("a"),
+        F.col("y.v").alias("b"),
+        (F.lit(1.0) / F.log(F.col("x.deg"))).alias("w"),
+    )
+    cand = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.sum("w").alias("aa"),
+    )
+    fresh = cand.join(und, ["a", "b"], "left_anti")
+    return (
+        fresh.select(
+            F.col("a").alias(src),
+            F.col("b").alias(dst),
+            "n_common",
+            F.round("aa", 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), src, dst)
+        .limit(k)
+    )

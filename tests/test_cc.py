@@ -317,3 +317,41 @@ def test_personalized_pagerank_localizes_mass(spark):
         for r in personalized_pagerank(df, [0], iterations=15).collect()
     }
     assert sum(got[n] for n in range(5)) > sum(got[n] for n in range(10, 15))
+
+
+def test_adamic_adar_hand_computed(spark):
+    # path graph 1-2-3 plus 3-4: AA(1,3) via 2: 1/ln(2); (2,4) via 3:
+    # 1/ln(2)... wait deg(3)=2 -> 1/ln(2). (1,4): no common neighbor.
+    from kgspark.cc import adamic_adar
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar(e, k=10).collect()
+    }
+    import math
+
+    w = round(1.0 / math.log(2.0), 6)
+    assert got == {(1, 3): (1, w), (2, 4): (1, w)}
+
+
+def test_adamic_adar_excludes_existing_edges_and_caps_hubs(spark):
+    from kgspark.cc import adamic_adar
+
+    # star: hub 0 connected to 1..5 -> every leaf pair is a candidate
+    star = [(0, i) for i in range(1, 6)]
+    e = spark.createDataFrame(star, "src long, dst long")
+    got = adamic_adar(e, k=100).collect()
+    assert len(got) == 10  # C(5,2) leaf pairs, none adjacent
+    # hub cap below deg(0)=5 removes every wedge
+    assert adamic_adar(e, max_deg=4, k=100).count() == 0
+    # adjacent pair never appears even with a shared neighbor
+    e2 = spark.createDataFrame(
+        star + [(1, 2)], "src long, dst long"
+    )
+    pairs = {
+        (r["src"], r["dst"]) for r in adamic_adar(e2, k=100).collect()
+    }
+    assert (1, 2) not in pairs
