@@ -554,6 +554,37 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (10 merges) over the corpus
+    word-frequency table: pair counting is one map-side-combinable agg
+    per round on VOCAB-cardinality rows (the corpus is scanned once,
+    up front); merge rewrite is a JVM regexp_replace. Deterministic
+    (count desc, pair asc) tie-break. Iterative driver loop — not
+    SQL-expressible; pytest checks parity with a sequential reference
+    BPE implementation."""
+    from kgspark.bpe import bpe_train
+
+    return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _q_scd2_history(spark, sf_dir):
+    """Type-2 SCD materialization of the events change stream:
+    gaps-and-islands run collapse + lead() validity intervals — ONE
+    exchange on user_id shared by every window and the run agg."""
+    from kgspark.dataops import scd2_history
+
+    return scd2_history(_read(spark, sf_dir, "events"))
+
+
+def _q_orders_trailing_window(spark, sf_dir):
+    """Trailing 30-day RANGE-frame aggregate per customer (count /
+    sum / avg of order totals): time-range frames over epoch micros,
+    one exchange on o_custkey."""
+    from kgspark.dataops import trailing_window_agg
+
+    return trailing_window_agg(_read(spark, sf_dir, "orders"), days=30)
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (10-minute gap):
     lag + running-sum window then hash agg, one exchange on user_id."""
@@ -1448,6 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_inactive_customers": _q_active_inactive_customers,
         "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
         "sessionize": _q_sessionize,
+        "bpe_merges": _q_bpe_merges,  # iterative; pytest vs sequential BPE
+        "scd2_history": _q_scd2_history,
+        "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
         "orders_cube": _q_orders_cube,
@@ -2424,6 +2458,54 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "scd2_history": """
+            WITH ev AS (
+              SELECT user_id, event_type AS state,
+                     epoch_us(ts) AS ts_us, event_id
+              FROM events
+            ),
+            runs AS (
+              SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                               OR lag(state) OVER w <> state
+                        THEN 1 ELSE 0 END AS chg
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ),
+            runs2 AS (
+              SELECT *, sum(chg) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+              ) AS run_id
+              FROM runs
+            ),
+            hist AS (
+              SELECT user_id, run_id, min(state) AS state,
+                     min(ts_us) AS valid_from_us,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM runs2 GROUP BY 1, 2
+            )
+            SELECT user_id, state, valid_from_us,
+                   COALESCE(lead(valid_from_us) OVER w2, -1)
+                     AS valid_to_us,
+                   (lead(valid_from_us) OVER w2 IS NULL) AS is_current,
+                   n_events
+            FROM hist
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+        """,
+        "orders_trailing_window": """
+            -- trailing 30d = 2592000000000 us; avg derives from the
+            -- rounded (exact, 2-decimal) sum, same as the Spark plan
+            SELECT o_orderkey, o_custkey,
+                   epoch_us(o_orderdate) AS order_us,
+                   CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+                   round(sum(o_totalprice) OVER w, 2) AS trailing_sum,
+                   round(round(sum(o_totalprice) OVER w, 2)
+                         / (count(*) OVER w), 6) AS trailing_avg
+            FROM orders
+            WINDOW w AS (
+              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+            )
         """,
         "sessionize": """
             WITH flags AS (

@@ -2372,3 +2372,104 @@ def quality_classifier(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw"))), 6
         ).alias("quality_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# warehouse temporal patterns: SCD2 history + range-frame trailing windows
+# ---------------------------------------------------------------------------
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension materialization from a change
+    stream: collapse each user's consecutive runs of the same state
+    (event_type) into validity intervals [valid_from, valid_to) with
+    an is_current flag — the standard CDC->warehouse history build
+    (gaps-and-islands: change flag -> running-sum run id -> one agg,
+    then lead() for the closing timestamp).
+
+    Scale shape: ONE exchange on user_id; every window and the run
+    aggregation reuse that same partitioning (Catalyst collapses them
+    into a single sort within the shuffle), so a 10^12-row change log
+    costs one shuffle. Skew bound = events per user, bounded by
+    per-entity activity, not corpus size.
+
+    Timestamps are emitted as epoch MICROS bigints (engine-portable;
+    valid_to = -1 marks the open/current interval).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    us = ts_micros(events, "ts")
+    ev = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        us.alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.first("state").alias("state"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return hist.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w2), F.lit(-1).cast("long")
+        ).alias("valid_to_us"),
+        (F.lead("valid_from_us").over(w2).isNull()).alias("is_current"),
+        "n_events",
+    )
+
+
+def trailing_window_agg(
+    orders: DataFrame, days: int = 30
+) -> DataFrame:
+    """Trailing time-RANGE window aggregate: for every order, the
+    count / sum / avg of the same customer's order totals over the
+    preceding `days` days INCLUSIVE of the current row — the moving
+    feature used for spend velocity and fraud baselines. A RANGE frame
+    over epoch micros (not ROWS) so simultaneous orders are all in
+    frame regardless of tie order, which is what makes the result
+    engine-deterministic.
+
+    One exchange on o_custkey; the frame scan is sort-local within the
+    partition. Skew bound = orders per customer.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    us = ts_micros(orders, "o_orderdate")
+    span = days * 86400 * 1_000_000
+    base = orders.select(
+        "o_orderkey", "o_custkey", us.alias("order_us"), "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_us")
+        .rangeBetween(-span, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_us",
+        F.count("*").over(w).cast("bigint").alias("n_in_window"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_sum"),
+        # avg derives from the ROUNDED sum: the totals have 2 decimals,
+        # so round(sum, 2) is exact and order-independent, and the avg
+        # inherits that determinism instead of re-summing doubles
+        F.round(
+            F.round(F.sum("o_totalprice").over(w), 2)
+            / F.count("*").over(w),
+            6,
+        ).alias("trailing_avg"),
+    )

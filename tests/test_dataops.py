@@ -1281,3 +1281,61 @@ def test_quality_classifier_deterministic_and_broadcast(spark, docs):
     # the weight-table join must be broadcast (fixed-size model side)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (0, dt(2024, 1, 1, 0, 0), 7, "A", 0.0, "{}"),
+        (1, dt(2024, 1, 1, 1, 0), 7, "A", 0.0, "{}"),   # same run
+        (2, dt(2024, 1, 1, 2, 0), 7, "B", 0.0, "{}"),   # change
+        (3, dt(2024, 1, 1, 3, 0), 7, "A", 0.0, "{}"),   # change back
+        (4, dt(2024, 1, 1, 0, 30), 8, "X", 0.0, "{}"),  # other user
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    hist = sorted(
+        (r for r in dataops.scd2_history(ev).collect()
+         if r["user_id"] == 7),
+        key=lambda r: r["valid_from_us"],
+    )
+    assert [h["state"] for h in hist] == ["A", "B", "A"]
+    assert [h["n_events"] for h in hist] == [2, 1, 1]
+    # intervals chain: each run closes exactly where the next opens
+    assert hist[0]["valid_to_us"] == hist[1]["valid_from_us"]
+    assert hist[1]["valid_to_us"] == hist[2]["valid_from_us"]
+    assert hist[2]["valid_to_us"] == -1 and hist[2]["is_current"]
+    assert not hist[0]["is_current"] and not hist[1]["is_current"]
+
+
+def test_trailing_window_range_frame(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, 5, "O", 100.0, dt(2024, 1, 1), "P"),
+        (2, 5, "O", 200.0, dt(2024, 1, 20), "P"),   # within 30d of #1
+        (3, 5, "O", 400.0, dt(2024, 3, 1), "P"),    # outside 30d
+        (4, 5, "O", 50.0, dt(2024, 3, 1), "P"),     # TIE with #3
+        (5, 6, "O", 999.0, dt(2024, 1, 10), "P"),   # other customer
+    ]
+    o = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    got = {
+        r["o_orderkey"]: r
+        for r in dataops.trailing_window_agg(o, days=30).collect()
+    }
+    assert got[1]["n_in_window"] == 1 and got[1]["trailing_sum"] == 100.0
+    assert got[2]["n_in_window"] == 2 and got[2]["trailing_sum"] == 300.0
+    # RANGE (not ROWS): the tied-date orders see each other both ways
+    assert got[3]["n_in_window"] == 2 and got[3]["trailing_sum"] == 450.0
+    assert got[4]["n_in_window"] == 2 and got[4]["trailing_sum"] == 450.0
+    assert got[5]["n_in_window"] == 1
+    assert got[2]["trailing_avg"] == 150.0
