@@ -554,6 +554,71 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_data_quality_report(spark, sf_dir):
+    """Declarative dbt-test-style constraint gate over the relational
+    tables: one row per check with its violation count — each check a
+    column-pruned scan + algebraic agg (unique = per-key count;
+    referential = broadcast left_anti)."""
+    from kgspark.dataops import data_quality_report
+
+    tables = {
+        t: _read(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem")
+    }
+    checks = [
+        {"id": "custkey_not_null", "type": "not_null",
+         "table": "customer", "column": "c_custkey"},
+        {"id": "orderkey_unique", "type": "unique",
+         "table": "orders", "columns": ["o_orderkey"]},
+        {"id": "lineitem_pk_unique", "type": "unique",
+         "table": "lineitem",
+         "columns": ["l_orderkey", "l_linenumber"]},
+        {"id": "order_cust_fk", "type": "referential",
+         "table": "orders", "column": "o_custkey",
+         "ref_table": "customer", "ref_column": "c_custkey"},
+        {"id": "lineitem_order_fk", "type": "referential",
+         "table": "lineitem", "column": "l_orderkey",
+         "ref_table": "orders", "ref_column": "o_orderkey"},
+        {"id": "qty_range", "type": "range", "table": "lineitem",
+         "column": "l_quantity", "min": 0, "max": 100},
+        {"id": "price_positive", "type": "range", "table": "orders",
+         "column": "o_totalprice", "min": 0},
+        {"id": "status_accepted", "type": "accepted",
+         "table": "orders", "column": "o_orderstatus",
+         "values": ["P", "O", "F"]},
+    ]
+    return data_quality_report(tables, checks)
+
+
+def _q_snapshot_cdc_diff(spark, sf_dir):
+    """Time-travel CDC between two committed snapshots (Iceberg
+    changelog-scan analog): old = docs with doc_id%10 != 9, new = docs
+    with doc_id%10 != 0 and a text rewrite for doc_id%7 == 0 — the
+    keyed diff emits insert/delete/update with map-side row hashes and
+    ONE shuffle on the key."""
+    from kgspark.io import TableIO
+
+    io = TableIO(_tmp_dir(f"cdc_wh_{os.path.basename(sf_dir)}"))
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    s1 = io.commit("docs_cdc", old, metadata={"v": 1})
+    s2 = io.commit("docs_cdc", new, metadata={"v": 2})
+    diff = io.snapshot_diff(spark, "docs_cdc", s1, s2, keys=["doc_id"])
+    # scalar-only output contract: absent-side hashes as '' not NULL
+    return diff.select(
+        "doc_id",
+        "change",
+        F.coalesce("old_hash", F.lit("")).alias("old_hash"),
+        F.coalesce("new_hash", F.lit("")).alias("new_hash"),
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (10 merges) over the corpus
     word-frequency table: pair counting is one map-side-combinable agg
@@ -1480,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
         "sessionize": _q_sessionize,
         "bpe_merges": _q_bpe_merges,  # iterative; pytest vs sequential BPE
+        "data_quality_report": _q_data_quality_report,
+        "snapshot_cdc_diff": _q_snapshot_cdc_diff,
         "scd2_history": _q_scd2_history,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
@@ -2458,6 +2525,82 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "data_quality_report": """
+            SELECT 'custkey_not_null' AS check_id,
+                   'not_null' AS check_type,
+                   'customer' AS table_name,
+                   CAST((SELECT count(*) FROM customer
+                         WHERE c_custkey IS NULL) AS BIGINT)
+                     AS n_violations
+            UNION ALL
+            SELECT 'orderkey_unique', 'unique', 'orders',
+                   CAST(COALESCE((SELECT sum(c - 1) FROM (
+                     SELECT count(*) AS c FROM orders
+                     GROUP BY o_orderkey) t WHERE c > 1), 0) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem_pk_unique', 'unique', 'lineitem',
+                   CAST(COALESCE((SELECT sum(c - 1) FROM (
+                     SELECT count(*) AS c FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber) t
+                     WHERE c > 1), 0) AS BIGINT)
+            UNION ALL
+            SELECT 'order_cust_fk', 'referential', 'orders',
+                   CAST((SELECT count(*) FROM orders o
+                         ANTI JOIN customer c
+                           ON o.o_custkey = c.c_custkey) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem_order_fk', 'referential', 'lineitem',
+                   CAST((SELECT count(*) FROM lineitem l
+                         ANTI JOIN orders o
+                           ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+            UNION ALL
+            SELECT 'qty_range', 'range', 'lineitem',
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_quantity < 0 OR l_quantity > 100
+                            OR l_quantity IS NULL) AS BIGINT)
+            UNION ALL
+            SELECT 'price_positive', 'range', 'orders',
+                   CAST((SELECT count(*) FROM orders
+                         WHERE o_totalprice < 0
+                            OR o_totalprice IS NULL) AS BIGINT)
+            UNION ALL
+            SELECT 'status_accepted', 'accepted', 'orders',
+                   CAST((SELECT count(*) FROM orders
+                         WHERE o_orderstatus NOT IN ('P', 'O', 'F')
+                            OR o_orderstatus IS NULL) AS BIGINT)
+        """,
+        "snapshot_cdc_diff": """
+            -- same deterministic old/new derivation as the Spark
+            -- query; row hash = md5 of unit-separator-joined values
+            WITH oldt AS (
+              SELECT * FROM documents WHERE doc_id % 10 <> 9
+            ),
+            newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            o AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang,
+                         source, CAST(n_chars AS VARCHAR))) AS old_hash
+                  FROM oldt),
+            n AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang,
+                         source, CAST(n_chars AS VARCHAR))) AS new_hash
+                  FROM newt),
+            j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         old_hash, new_hash
+                  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN old_hash IS NULL THEN 'insert'
+                        WHEN new_hash IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   COALESCE(old_hash, '') AS old_hash,
+                   COALESCE(new_hash, '') AS new_hash
+            FROM j
+            WHERE old_hash IS NULL OR new_hash IS NULL
+               OR old_hash <> new_hash
         """,
         "scd2_history": """
             WITH ev AS (

@@ -2473,3 +2473,81 @@ def trailing_window_agg(
             6,
         ).alias("trailing_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality checks (dbt-test-style) over any tables
+# ---------------------------------------------------------------------------
+
+
+def data_quality_report(
+    tables: dict[str, DataFrame], checks: list[dict]
+) -> DataFrame:
+    """Declarative constraint validation (the dbt-tests / Deequ
+    pattern): run a list of checks and return one row per check with
+    its violation count — the gate a 100 TB ingest runs before
+    publishing a snapshot. Check specs:
+
+      {"id", "type": "not_null",   "table", "column"}
+      {"id", "type": "unique",     "table", "columns": [..]}
+      {"id", "type": "range",      "table", "column", "min"?, "max"?}
+      {"id", "type": "accepted",   "table", "column", "values": [..]}
+      {"id", "type": "referential","table", "column",
+                                   "ref_table", "ref_column"}
+
+    Scale shape: every check is a single column-pruned scan + one
+    algebraic aggregate; `unique` is a map-side-combinable count per
+    key; `referential` is a left_anti join (broadcast when the parent
+    key set is a dimension). Results union to one tiny frame — the
+    checks never materialize violating ROWS (that is a debugging
+    query), only counts, so the report costs one pass per check
+    regardless of violation volume.
+    """
+    spark = next(iter(tables.values())).sparkSession
+    outs = []
+    for c in checks:
+        t = tables[c["table"]]
+        kind = c["type"]
+        if kind == "not_null":
+            n = t.filter(F.col(c["column"]).isNull()).count()
+        elif kind == "unique":
+            n = (
+                t.groupBy(*c["columns"])
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") > 1)
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("c") - 1), F.lit(0)
+                    ).alias("n")
+                )
+                .first()["n"]
+            )
+        elif kind == "range":
+            cond = F.lit(False)
+            if "min" in c:
+                cond = cond | (F.col(c["column"]) < F.lit(c["min"]))
+            if "max" in c:
+                cond = cond | (F.col(c["column"]) > F.lit(c["max"]))
+            n = t.filter(cond | F.col(c["column"]).isNull()).count()
+        elif kind == "accepted":
+            n = t.filter(
+                ~F.col(c["column"]).isin(c["values"])
+                | F.col(c["column"]).isNull()
+            ).count()
+        elif kind == "referential":
+            parent = tables[c["ref_table"]].select(
+                F.col(c["ref_column"]).alias(c["column"])
+            )
+            n = (
+                t.select(c["column"])
+                .join(F.broadcast(parent), c["column"], "left_anti")
+                .count()
+            )
+        else:
+            raise ValueError(f"unknown check type: {kind}")
+        outs.append((c["id"], kind, c["table"], int(n)))
+    return spark.createDataFrame(
+        outs,
+        "check_id string, check_type string, table_name string,"
+        " n_violations bigint",
+    )

@@ -220,6 +220,63 @@ class TableIO:
     def current_snapshot(self, table: str) -> str | None:
         return self._load_manifest(table)["current"]
 
+    def snapshot_diff(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_snapshot: str,
+        to_snapshot: str | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Time-travel diff between two committed snapshots — the
+        Iceberg changelog-scan analog (`table_changes`), derived from
+        state because this shim stores full snapshots.
+
+        Without `keys`: multiset row diff via exceptAll both ways,
+        tagged change='insert'/'delete'. One shuffle on all columns —
+        fine for narrow tables; at 100 TB pass `keys`.
+
+        With `keys`: CDC semantics — full-outer join on the key with a
+        row-hash comparison of the remaining columns, emitting
+        (keys..., change in insert|delete|update, old_hash, new_hash).
+        One shuffle on the key columns only; the row hash is computed
+        map-side so wide rows never shuffle twice.
+        """
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        old = self.read(spark, table, from_snapshot)
+        new = self.read(spark, table, to_snapshot)
+        if not keys:
+            added = new.exceptAll(old).withColumn(
+                "change", F.lit("insert")
+            )
+            removed = old.exceptAll(new).withColumn(
+                "change", F.lit("delete")
+            )
+            return added.unionByName(removed)
+        val_cols = [c for c in new.columns if c not in keys]
+        rh = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in val_cols]
+            )
+        )
+        o = old.select(*keys, rh.alias("old_hash"))
+        n = new.select(*keys, rh.alias("new_hash"))
+        j = o.join(n, keys, "full_outer")
+        return j.select(
+            *keys,
+            F.when(F.col("old_hash").isNull(), F.lit("insert"))
+            .when(F.col("new_hash").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+            "old_hash",
+            "new_hash",
+        ).filter(
+            F.col("old_hash").isNull()
+            | F.col("new_hash").isNull()
+            | (F.col("old_hash") != F.col("new_hash"))
+        )
+
     def snapshot_metadata(
         self, table: str, snapshot: str | None = None
     ) -> dict[str, Any]:

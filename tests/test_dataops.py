@@ -1339,3 +1339,34 @@ def test_trailing_window_range_frame(spark):
     assert got[4]["n_in_window"] == 2 and got[4]["trailing_sum"] == 450.0
     assert got[5]["n_in_window"] == 1
     assert got[2]["trailing_avg"] == 150.0
+
+
+def test_data_quality_report_finds_injected_violations(spark):
+    customers = spark.createDataFrame(
+        [(1,), (2,), (None,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 5.0, "O"), (10, 2, -3.0, "O"), (11, 99, 7.0, "Z")],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderstatus string",
+    )
+    checks = [
+        {"id": "nn", "type": "not_null", "table": "customer",
+         "column": "c_custkey"},
+        {"id": "uq", "type": "unique", "table": "orders",
+         "columns": ["o_orderkey"]},
+        {"id": "fk", "type": "referential", "table": "orders",
+         "column": "o_custkey", "ref_table": "customer",
+         "ref_column": "c_custkey"},
+        {"id": "rng", "type": "range", "table": "orders",
+         "column": "o_totalprice", "min": 0},
+        {"id": "acc", "type": "accepted", "table": "orders",
+         "column": "o_orderstatus", "values": ["P", "O", "F"]},
+    ]
+    got = {
+        r["check_id"]: r["n_violations"]
+        for r in dataops.data_quality_report(
+            {"customer": customers, "orders": orders}, checks
+        ).collect()
+    }
+    assert got == {"nn": 1, "uq": 1, "fk": 1, "rng": 1, "acc": 1}

@@ -246,3 +246,43 @@ def test_file_stats_pruning_with_zorder_layout(spark, tmp_path):
     empty, n0, _ = io.read_pruned(spark, "t", {"x": (1000.0, 2000.0)})
     assert n0 == 0 and empty.count() == 0
     assert set(empty.columns) == set(pruned.columns)
+
+
+def test_snapshot_diff_keyed_cdc(spark, tmp_path):
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    ddl = "k long, v string, x long"
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ddl
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, "d", 40)], ddl
+    )
+    s1 = io.commit("t", old)
+    s2 = io.commit("t", new)
+    got = {
+        r["k"]: r["change"]
+        for r in io.snapshot_diff(
+            spark, "t", s1, s2, keys=["k"]
+        ).collect()
+    }
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_snapshot_diff_rowset_mode_multiset(spark, tmp_path):
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    ddl = "k long, v string"
+    old = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ddl)
+    new = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], ddl)
+    s1 = io.commit("t", old)
+    s2 = io.commit("t", new)
+    got = sorted(
+        (r["k"], r["v"], r["change"])
+        for r in io.snapshot_diff(spark, "t", s1, s2).collect()
+    )
+    # exceptAll: one surplus (1,a) deleted, one surplus (2,b) inserted
+    assert got == [(1, "a", "delete"), (2, "b", "insert")]
