@@ -554,6 +554,34 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_prefix_jaccard_near_dup(spark, sf_dir):
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering)
+    over 3-word shingles at Jaccard >= 0.5 — the deterministic
+    complement to the MinHash/SimHash LSH families: guaranteed-recall
+    candidate generation by blocking on each doc's rarest-df prefix
+    shingles, never all-pairs."""
+    from kgspark.dataops import prefix_jaccard_join
+
+    return prefix_jaccard_join(
+        _read(spark, sf_dir, "documents"), threshold=0.5, n=3
+    )
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES with
+    md5-derived uniforms): top-100 docs by ln(u)/weight with weight =
+    n_chars — the auditable 'sample by quality score' primitive; same
+    winners on every engine/run/cluster size."""
+    from kgspark.dataops import weighted_sample
+
+    ws = weighted_sample(
+        _read(spark, sf_dir, "documents"), "n_chars", k=100
+    )
+    return ws.select(
+        "doc_id", "weight", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
 def _q_data_quality_report(spark, sf_dir):
     """Declarative dbt-test-style constraint gate over the relational
     tables: one row per check with its violation count — each check a
@@ -1547,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,  # iterative; pytest vs sequential BPE
         "data_quality_report": _q_data_quality_report,
         "snapshot_cdc_diff": _q_snapshot_cdc_diff,
+        "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
+        "weighted_sample": _q_weighted_sample,
         "scd2_history": _q_scd2_history,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
@@ -2525,6 +2555,75 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "prefix_jaccard_near_dup": f"""
+            -- exact prefix-filtered Jaccard join, 3-word shingles,
+            -- rarest-df-first prefix of size floor((1-t)*|set|)+1
+            WITH base AS (
+              SELECT doc_id, string_split({norm}, ' ') AS words
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       for i in range(1, greatest(len(words) - 2, 1) + 1)
+                     ])) AS tok
+              FROM base
+            ),
+            toks AS (SELECT * FROM sh WHERE tok <> ''),
+            dfc AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+            sizes AS (
+              SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+            ),
+            ranked AS (
+              SELECT t.doc_id, t.tok, s.sz,
+                     row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY d.df, t.tok
+                     ) AS rnk
+              FROM toks t JOIN dfc d USING (tok)
+              JOIN sizes s USING (doc_id)
+            ),
+            pre AS (
+              SELECT doc_id, tok FROM ranked
+              WHERE rnk <= floor((1.0 - 0.5) * sz) + 1
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM pre a JOIN pre b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.doc_a
+              JOIN toks tb ON tb.doc_id = c.doc_b
+                          AND tb.tok = ta.tok
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.n_inter * 1.0
+                         / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            -- filter on the ROUNDED value, same as the Spark plan
+            WHERE round(i.n_inter * 1.0
+                        / (sa.sz + sb.sz - i.n_inter), 6) >= 0.5
+        """,
+        "weighted_sample": """
+            -- A-ES weighted sampling: same md5/15-hex uniform as
+            -- Spark hash_bucket; 1152921504606846977.0 parses to the
+            -- same double (2^60) in both engines
+            WITH s AS (
+              SELECT doc_id, n_chars AS weight,
+                     ln((('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          )::BIGINT + 1.0)
+                        / 1152921504606846977.0) / n_chars AS sk
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, weight, round(sk, 6) AS sample_key
+            FROM (SELECT * FROM s ORDER BY sk DESC, doc_id LIMIT 100) t
         """,
         "data_quality_report": """
             SELECT 'custkey_not_null' AS check_id,

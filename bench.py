@@ -31,7 +31,10 @@ r3-new segments (all skipped under KGSPARK_BENCH_SKIP_EXTRAS so
 scaling runs time the r2-comparable list): corpus_filters
 (repetition / contamination / PII / winnow), temporal_joins
 (as-of + interval), kg_analytics (10-iteration PageRank), graph_mining
-(degree-oriented triangle count + 3-iteration k-means training).
+(degree-oriented triangle count + 3-iteration k-means training),
+link_prediction (Adamic-Adar, deg<=128 cap), corpus_cleaning
+(paragraph dedup + unigram LM + hashed-feature classifier), bpe_train
+(5 merges over the word-frequency table).
 
 Scaling-efficiency evidence (BASELINE.md protocol) is produced by
 tools/bench_scaling.py which runs this same workload at two
@@ -401,6 +404,35 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
             kmeans_train(read("embeddings"), k=16, n_iter=3)
 
         timed("graph_mining", graph_mining)
+
+        def link_prediction():
+            from kgspark.cc import adamic_adar, co_order_pairs  # noqa: PLC0415
+
+            adamic_adar(
+                co_order_pairs(read("lineitem")), max_deg=128, k=20
+            ).collect()
+
+        timed("link_prediction", link_prediction)
+
+        def corpus_cleaning():
+            from kgspark.dataops import (  # noqa: PLC0415
+                paragraph_dedup, quality_classifier, unigram_lm_score,
+            )
+
+            paragraph_dedup(
+                docs, min_docs=2, mode="window", words_per_para=4
+            ).count()
+            unigram_lm_score(docs).count()
+            quality_classifier(docs).count()
+
+        timed("corpus_cleaning", corpus_cleaning)
+
+        def bpe_train_seg():
+            from kgspark.bpe import bpe_train  # noqa: PLC0415
+
+            bpe_train(docs, n_merges=5).count()
+
+        timed("bpe_train", bpe_train_seg)
 
     def relational():
         li = read("lineitem")

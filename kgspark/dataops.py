@@ -2551,3 +2551,133 @@ def data_quality_report(
         "check_id string, check_type string, table_name string,"
         " n_violations bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering) + weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_join(
+    documents: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """EXACT Jaccard self-join over n-word shingle sets via prefix
+    filtering (PPJoin family) — the deterministic complement to the
+    MinHash/SimHash LSH paths: every pair at or above the threshold is
+    RETURNED, none missed, yet no all-pairs stage exists.
+
+    Pruning guarantee: order each doc's distinct tokens by ascending
+    document frequency (rarest first, df ties broken by token); two
+    sets with Jaccard >= t must share a token within each other's
+    first floor((1-t)*|set|)+1 tokens, so blocking on that prefix
+    loses nothing. Rare-first ordering makes prefix tokens the LEAST
+    frequent — candidate buckets stay small exactly because the
+    blocking keys are unpopular (the inverse of LSH's random bands).
+
+    Scale shape: one tokenize pass -> df counts (map-side combinable)
+    -> per-doc ordered token rank (one exchange on doc_id) -> prefix
+    explode (bounded by (1-t)*|set|+1 per doc) -> bucket self-join on
+    the prefix token -> pair-distinct -> ONE verify join computing
+    exact intersection via the shared token lists. Verification joins
+    only candidate pairs; bucket fanout is sum over prefix tokens of
+    df(token)^2 where df is small BY CONSTRUCTION of the ordering.
+
+    Returns (doc_a, doc_b, jaccard) for pairs >= threshold, doc_a <
+    doc_b, jaccard rounded to 6 dp.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # same shingle convention as minhash/ngram_jaccard, so the exact
+    # and LSH near-dup families are directly comparable
+    toks = (
+        word_shingles(documents, n=n)
+        .select("doc_id", F.col("shingle").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ranked = (
+        toks.join(df_counts, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.floor((1.0 - threshold) * F.col("sz")) + F.lit(1)
+    ).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sza") + F.col("szb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis A-ES scheme): draw k rows with inclusion
+    odds proportional to `weight_col` — the training-mix primitive
+    for "sample by quality score" — but with the uniform draw derived
+    from an md5 hash of the key instead of rand(), so the SAME rows
+    are chosen on every engine, run, and cluster size (auditable
+    subsets, and a DuckDB oracle can reproduce them exactly).
+
+    key = ln(u) / w with u = (hash64(key) + 1) / (2^60 + 1) in (0, 1];
+    the k LARGEST keys win (equivalently top-k by u^(1/w)). One
+    column-pruned scan + TakeOrderedAndProject — no shuffle beyond
+    the top-k reduction. Zero/negative weights are excluded (their
+    inclusion probability is 0).
+
+    Returns (key_col, weight, sample_key) for the k winners.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    sample_key = F.log(u) / F.col(weight_col)
+    return (
+        documents.filter(F.col(weight_col) > 0)
+        .select(
+            key_col,
+            F.col(weight_col).alias("weight"),
+            sample_key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -1370,3 +1370,57 @@ def test_data_quality_report_finds_injected_violations(spark):
         ).collect()
     }
     assert got == {"nn": 1, "uq": 1, "fk": 1, "rng": 1, "acc": 1}
+
+
+def test_prefix_jaccard_join_exact_vs_brute_force(spark):
+    # guaranteed recall: result must EQUAL the brute-force all-pairs
+    # jaccard at the threshold, including pairs sharing only rare tokens
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en"),
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        (2, "the quick brown fox leaps over the lazy dog today", "en"),
+        (3, "completely different text about spark query engines", "en"),
+        (4, "completely different text about spark query planners", "en"),
+        (5, "unrelated content entirely on its own here now ok", "en"),
+    ]
+    d = spark.createDataFrame(rows, DOCS_DDL)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dataops.prefix_jaccard_join(
+            d, threshold=0.3, n=3
+        ).collect()
+    }
+
+    def sh(t):
+        w = t.split()
+        return {
+            " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))
+        }
+
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sh(rows[i][1]), sh(rows[j][1])
+            jac = len(a & b) / len(a | b)
+            if round(jac, 6) >= 0.3:
+                want[(i, j)] = round(jac, 6)
+    assert got == want and len(want) >= 3
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    rows = [(i, "x", "en") for i in range(200)]
+    d = spark.createDataFrame(rows, DOCS_DDL).withColumn(
+        "w", F.when(F.col("doc_id") < 20, 1000.0).otherwise(1.0)
+    )
+    s1 = [r["doc_id"] for r in dataops.weighted_sample(d, "w", k=30).collect()]
+    s2 = [r["doc_id"] for r in dataops.weighted_sample(d, "w", k=30).collect()]
+    assert s1 == s2  # deterministic, ordering included
+    # the 20 heavy docs (1000x weight) should essentially all be drawn
+    heavy = sum(1 for i in s1 if i < 20)
+    assert heavy >= 18
+    # zero/negative weights never sampled
+    d2 = d.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, -1.0).otherwise(F.col("w"))
+    )
+    s3 = [r["doc_id"] for r in dataops.weighted_sample(d2, "w", k=50).collect()]
+    assert all(i % 2 == 1 for i in s3)
