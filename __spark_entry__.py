@@ -554,6 +554,17 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_hll_merged_distinct(spark, sf_dir):
+    """Mergeable distinct-count sketches: per-event-type HLL sketches
+    merged into a global estimate FROM THE SKETCHES (hll_union_agg) —
+    the incremental stats pattern that answers distinct counts at
+    100 TB without rescanning. Estimates are approximate -> rows-only;
+    pytest bounds the error and asserts merge==direct."""
+    from kgspark.dataops import hll_merged_distinct
+
+    return hll_merged_distinct(_read(spark, sf_dir, "events"))
+
+
 def _q_prefix_jaccard_near_dup(spark, sf_dir):
     """EXACT set-similarity self-join (PPJoin-style prefix filtering)
     over 3-word shingles at Jaccard >= 0.5 — the deterministic
@@ -1577,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_cdc_diff": _q_snapshot_cdc_diff,
         "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
         "weighted_sample": _q_weighted_sample,
+        "hll_merged_distinct": _q_hll_merged_distinct,  # sketch algebra
         "scd2_history": _q_scd2_history,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,

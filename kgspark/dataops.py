@@ -2681,3 +2681,50 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-count sketches (incremental statistics at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def hll_partition_sketches(
+    events: DataFrame, key: str = "user_id", part: str = "event_type"
+) -> DataFrame:
+    """Per-partition HLL sketches (Apache DataSketches via Spark's
+    hll_sketch_agg): one binary sketch per `part` value. This is the
+    INCREMENTAL distinct-count pattern for 100 TB pipelines — each
+    ingest batch/day/partition aggregates its own fixed-size sketch
+    (map-side combinable, bytes not rows), the sketches persist as a
+    tiny table, and ANY grouping's distinct count is answered later by
+    merging sketches — no rescan of the corpus, ever."""
+    return events.groupBy(part).agg(
+        F.hll_sketch_agg(key).alias("sketch"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def hll_merged_distinct(
+    events: DataFrame, key: str = "user_id", part: str = "event_type"
+) -> DataFrame:
+    """Merge the per-partition sketches to (per-partition estimate,
+    global estimate) — the global number is computed from the SKETCHES
+    (hll_union_agg), not the data, demonstrating the algebra a
+    snapshot-level stats table relies on. Returns one row per `part`
+    plus a '__all__' row."""
+    sk = hll_partition_sketches(events, key=key, part=part)
+    per = sk.select(
+        F.col(part).alias("partition"),
+        "n_rows",
+        F.hll_sketch_estimate("sketch").cast("bigint").alias(
+            "distinct_est"
+        ),
+    )
+    allrow = sk.agg(
+        F.lit("__all__").alias("partition"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("distinct_est"),
+    )
+    return per.unionByName(allrow)
