@@ -554,6 +554,30 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_table_checksum(spark, sf_dir):
+    """Order-independent content checksum (xor of 64-bit row hashes +
+    count) over the orders key/status columns — the O(1)-output
+    snapshot-equality probe for migrations and CDC reconciliation;
+    one map-side pass, no sort."""
+    from kgspark.dataops import table_checksum
+
+    return table_checksum(
+        _read(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority"],
+    )
+
+
+def _q_bigram_lm_score(spark, sf_dir):
+    """Bigram LM quality gate (stupid-backoff), trained in-engine:
+    p(w2|w1)=c12/c1 over the corpus; flags shuffled/gibberish docs a
+    unigram LM cannot see. Three map-side-combinable counts + hash
+    joins on the bigram key."""
+    from kgspark.dataops import bigram_lm_score
+
+    return bigram_lm_score(_read(spark, sf_dir, "documents"))
+
+
 def _q_hll_merged_distinct(spark, sf_dir):
     """Mergeable distinct-count sketches: per-event-type HLL sketches
     merged into a global estimate FROM THE SKETCHES (hll_union_agg) —
@@ -1589,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
         "weighted_sample": _q_weighted_sample,
         "hll_merged_distinct": _q_hll_merged_distinct,  # sketch algebra
+        "table_checksum": _q_table_checksum,
+        "bigram_lm_score": _q_bigram_lm_score,
         "scd2_history": _q_scd2_history,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
@@ -2567,6 +2593,46 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "table_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(bit_xor(
+                     ('0x' || substring(md5(concat_ws(chr(31),
+                        CAST(o_orderkey AS VARCHAR),
+                        CAST(o_custkey AS VARCHAR),
+                        o_orderstatus, o_orderpriority)), 1, 15)
+                     )::BIGINT), 0) AS BIGINT) AS checksum
+            FROM orders
+        """,
+        "bigram_lm_score": f"""
+            -- self-trained corpus: every (w1,w2) is observed, so the
+            -- seen-bigram branch p = c12/c1 always applies (the Spark
+            -- backoff expression exists for scoring unseen docs)
+            WITH base AS (
+              SELECT doc_id, string_split({norm}, ' ') AS words
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+              FROM base,
+                   unnest(range(1, greatest(len(words) - 1, 0) + 1))
+                     AS t(i)
+              WHERE words[i] <> '' AND words[i+1] <> ''
+            ),
+            tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+                   FROM bg GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, count(*) AS c12
+                    FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+            s AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                     sum(tf * -ln(c12 * 1.0 / c1)) / sum(tf) AS anlp
+              FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams, round(anlp, 6) AS avg_neg_logp,
+                   round(exp(anlp), 6) AS ppl
+            FROM s
         """,
         "prefix_jaccard_near_dup": f"""
             -- exact prefix-filtered Jaccard join, 3-word shingles,

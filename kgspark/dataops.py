@@ -2728,3 +2728,118 @@ def hll_merged_distinct(
         .alias("distinct_est"),
     )
     return per.unionByName(allrow)
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent content checksum of a table: xor of per-row
+    64-bit md5 hashes + row count. Two snapshots are byte-equal in
+    content iff (n_rows, checksum) match — the O(1)-output equality
+    probe for migration cutovers, snapshot compaction, and CDC
+    reconciliation at 100 TB (one map-side pass, a single xor
+    aggregate; no sort, no collect, no row movement).
+
+    xor (not sum) keeps the aggregate exact and order-independent in
+    64-bit ANSI arithmetic — a sum of full-range hashes overflows.
+    Multiset caveat: xor cancels DUPLICATE rows in pairs, so tables
+    differing only by an even number of copies of the same row
+    collide; include a uniquifying key in `cols` when rows can repeat.
+    """
+    cols = cols or df.columns
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in cols]
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(F.bit_xor(row_hash), F.lit(0)).cast("bigint").alias(
+            "checksum"
+        ),
+    )
+
+
+def bigram_lm_score(documents: DataFrame, alpha: float = 0.4) -> DataFrame:
+    """Bigram language-model quality gate with stupid-backoff — the
+    step up from unigram_lm_score toward the CCNet/KenLM filter, still
+    trained entirely in-engine: p(w2|w1) = c(w1 w2)/c(w1 *) when the
+    bigram was seen, else alpha * p_unigram(w2). Documents full of
+    never-seen-together word pairs (shuffled/gibberish text) score
+    high even when every individual word is common — the failure mode
+    a unigram LM cannot see.
+
+    Scale shape: one tokenize pass feeds three map-side-combinable
+    counts (doc-bigram tf, corpus bigram, corpus unigram); scoring is
+    one hash join on the bigram + a backoff join on the second word.
+    LM tables have vocab / vocab^2-observed cardinality, joined on
+    their keys — corpus-size-independent state, same join shape as an
+    external KenLM lookup.
+
+    Returns (doc_id, n_bigrams, avg_neg_logp, ppl) rounded to 6 dp;
+    single-word docs have no bigrams and are absent (same convention
+    as unigram_lm_score on empty docs).
+    """
+    words = F.split(norm_text(F.col("text")), " ")
+    tail_len = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = documents.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, tail_len),
+                F.slice(words, 2, tail_len),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    tf = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("tf")
+    )
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    w1_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni = bigrams.groupBy(F.col("w2").alias("u_w")).agg(
+        F.count("*").alias("cu")
+    )
+    uni_total = uni.agg(F.sum("cu").alias("ut"))
+    scored = (
+        tf.join(bg_counts, ["w1", "w2"])
+        .join(w1_counts, "w1")
+        .join(uni, tf["w2"] == F.col("u_w"))
+        .crossJoin(F.broadcast(uni_total))
+        .select(
+            "doc_id",
+            "tf",
+            # every (w1,w2) here was observed (self-trained), so the
+            # seen-bigram branch always applies on this corpus; the
+            # backoff expression stays for external-LM parity and for
+            # scoring documents not in the training set
+            F.when(
+                F.col("c12") > 0,
+                F.col("c12") / F.col("c1"),
+            )
+            .otherwise(
+                F.lit(alpha) * F.col("cu") / F.col("ut")
+            )
+            .alias("p"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        (F.sum(F.col("tf") * -F.log("p")) / F.sum("tf")).alias("anlp"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("anlp", 6).alias("avg_neg_logp"),
+        F.round(F.exp("anlp"), 6).alias("ppl"),
+    )

@@ -1424,3 +1424,46 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     )
     s3 = [r["doc_id"] for r in dataops.weighted_sample(d2, "w", k=50).collect()]
     assert all(i % 2 == 1 for i in s3)
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    ddl = "k long, v string"
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ddl)
+    b = spark.createDataFrame([(3, "z"), (1, "x"), (2, "y")], ddl)
+    ca = dataops.table_checksum(a).first()
+    cb = dataops.table_checksum(b.repartition(7)).first()
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    # any single-row change flips the checksum
+    c = spark.createDataFrame([(1, "x"), (2, "y"), (3, "Z")], ddl)
+    cc = dataops.table_checksum(c).first()
+    assert cc["checksum"] != ca["checksum"]
+    # empty table is the identity
+    e = dataops.table_checksum(
+        spark.createDataFrame([], ddl)
+    ).first()
+    assert (e["n_rows"], e["checksum"]) == (0, 0)
+
+
+def test_bigram_lm_flags_shuffled_text(spark):
+    # same unigram distribution, broken bigram structure: the shuffled
+    # doc must out-score the natural ones — the signal unigram misses
+    natural = "the cat sat on the mat"
+    rows = [(i, natural, "en") for i in range(5)]
+    rows.append((99, "mat the on sat cat the", "en"))
+    d = spark.createDataFrame(rows, DOCS_DDL)
+    got = {
+        r["doc_id"]: r for r in dataops.bigram_lm_score(d).collect()
+    }
+    assert got[99]["avg_neg_logp"] > got[0]["avg_neg_logp"]
+    assert got[0]["n_bigrams"] == 5
+    import math
+
+    assert abs(
+        got[99]["ppl"] - math.exp(got[99]["avg_neg_logp"])
+    ) < 1e-3
+    # unigram LM sees no difference between the two docs
+    uni = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in dataops.unigram_lm_score(d).collect()
+    }
+    assert uni[99] == uni[0]
