@@ -554,6 +554,71 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 star-join shape: revenue per nation within a region —
+    the fact table streams through BROADCAST dimension joins
+    (region->nation->customer chain + supplier co-nation check), one
+    exchange for the final nation agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nr), customer["c_nationkey"] == nr["n_nationkey"]
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nk"), "n_name")
+    ords = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_nk", "n_name")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        li.join(F.broadcast(ords), li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nk"))
+        .groupBy("n_name")
+        .agg(
+            # per-item deterministic round to integer cents, then an
+            # EXACT integer sum — a rounded double sum at this
+            # magnitude sits within float error of a .xx5 boundary
+            # often enough to flip engines
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def _q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count
+    INCLUDING zero-order customers — left outer join + two hash aggs;
+    the outer join is what the inner-join family cannot express."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
 def _q_table_checksum(spark, sf_dir):
     """Order-independent content checksum (xor of 64-bit row hashes +
     count) over the orders key/status columns — the O(1)-output
@@ -1615,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merged_distinct": _q_hll_merged_distinct,  # sketch algebra
         "table_checksum": _q_table_checksum,
         "bigram_lm_score": _q_bigram_lm_score,
+        "regional_revenue": _q_regional_revenue,  # TPC-H Q5 star join
+        "customer_order_distribution": _q_customer_order_distribution,
         "scd2_history": _q_scd2_history,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
@@ -2593,6 +2660,33 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "regional_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(
+                     l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+        """,
+        "customer_order_distribution": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ) t
+            GROUP BY n_orders
         """,
         "table_checksum": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
