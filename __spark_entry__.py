@@ -400,6 +400,71 @@ def _q_streaming_lang_windows(spark, sf_dir):
     )
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """Watermarked SESSION windows (F.session_window) through the
+    driver contract (rows-only: streaming): 200 fixture pages with
+    timestamps dilated into 4 crawl bursts (2h of silence every 50
+    pages) sessionize per host at gap=30m; the far-future sentinel
+    (mtime-ordered last) closes every real session. Emits the
+    finalized bursts as scalar rows."""
+    import datetime as dt
+
+    from kgspark import streaming
+    from kgspark.fixtures import PAGES_DDL, pages_df
+
+    tmp = _tmp_dir("stream_session_q")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    marker = f"{tmp}/sentinel_done"
+    if not os.path.exists(marker):
+        import glob  # noqa: PLC0415
+
+        docid = F.regexp_extract("url", r"doc(\d+)$", 1).cast("long")
+        burst_pages = (
+            pages_df(spark, 200)
+            .withColumn(
+                "warc_ts",
+                F.col("warc_ts")
+                + F.make_interval(
+                    hours=(F.floor(docid / 50) * 2).cast("int")
+                ),
+            )
+        )
+        burst_pages.coalesce(2).write.mode("append").parquet(landing)
+        data_files = set(glob.glob(f"{landing}/*.parquet"))
+        sentinel_ts = dt.datetime(
+            2024, 1, 2, tzinfo=dt.timezone.utc
+        ) + dt.timedelta(hours=12)
+        spark.createDataFrame(
+            [("https://sentinel.end/doc0", sentinel_ts, None, "end",
+              "sentinel")],
+            PAGES_DDL,
+        ).coalesce(1).write.mode("append").parquet(landing)
+        data_mtime = max(os.path.getmtime(f) for f in data_files)
+        for f in set(glob.glob(f"{landing}/*.parquet")) - data_files:
+            os.utime(f, (data_mtime + 2.0, data_mtime + 2.0))
+        open(marker, "w").close()
+    streaming.run_to_parquet(
+        streaming.session_crawl_bursts(
+            streaming.stream_pages(spark, landing, max_files_per_trigger=1),
+            gap="30 minutes",
+            watermark="30 minutes",
+        ),
+        out, ckpt,
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("host") != "sentinel.end")
+        .select(
+            "host",
+            F.unix_micros("burst_start").alias("burst_start_us"),
+            F.unix_micros("burst_end").alias("burst_end_us"),
+            "n_pages",
+            "n_chars",
+        )
+        .orderBy("burst_start_us")
+    )
+
+
 def _q_events_stats(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
@@ -1730,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_triples": _q_streaming_triples,
         "streaming_source_stats": _q_streaming_source_stats,  # stateful
         "streaming_lang_windows": _q_streaming_lang_windows,  # watermark
+        "streaming_sessions": _q_streaming_sessions,  # session_window
         "streaming_join": _q_streaming_join,  # stream-stream join
         # checkpointed pipeline + lineage (rows-only; resume pytest)
         "kg_lineage": _q_kg_lineage,

@@ -110,6 +110,42 @@ def windowed_lang_counts(
     )
 
 
+def session_crawl_bursts(
+    pages_stream: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SESSION windows per source host: group a host's
+    pages into crawl bursts separated by >= `gap` of event-time
+    silence (`F.session_window` — the data-driven window the tumbling
+    variant cannot express; sessions merge as late rows arrive and
+    finalize when the watermark passes gap beyond the last event).
+    The streaming twin of the batch `dataops.sessionize`
+    gaps-and-islands op — same semantics, state bounded by
+    watermark x active hosts.
+
+    Emits one row per finalized burst: host (url authority), burst
+    bounds, page/char counts.
+    """
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        pages_stream.select(host, "warc_ts", F.length("text").alias("n"))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("win"), "host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n").alias("n_chars"),
+        )
+        .select(
+            "host",
+            F.col("win.start").alias("burst_start"),
+            F.col("win.end").alias("burst_end"),
+            "n_pages",
+            "n_chars",
+        )
+    )
+
+
 SOURCE_STATS_DDL = (
     "source string, n_pages long, n_chars long, first_ts timestamp, "
     "last_ts timestamp"

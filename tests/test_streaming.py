@@ -325,3 +325,64 @@ def test_stream_stream_join_matches_batch(spark, landing, tmp_path):
     )
     assert got == expect
     assert len(got) == pages.count()  # in-bound ann per url; late ones dropped
+
+
+def test_session_crawl_bursts_gap_semantics(spark, tmp_path):
+    """Session windows merge rows within the gap and split across it;
+    streaming (finalized-by-watermark) result equals the batch run of
+    the SAME session_window aggregation."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = [
+        # host a: burst 1 = minutes 0,3,6 ; burst 2 = minutes 30,31
+        ("https://a.example.com/1", _ts(0), None, "xx", "en"),
+        ("https://a.example.com/2", _ts(3), None, "yyy", "en"),
+        ("https://a.example.com/3", _ts(6), None, "z", "en"),
+        ("https://a.example.com/4", _ts(30), None, "w", "en"),
+        ("https://a.example.com/5", _ts(31), None, "v", "en"),
+        # host b: single burst
+        ("https://b.example.com/1", _ts(5), None, "bb", "en"),
+    ]
+    spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    # sentinel far in the future closes every session
+    spark.createDataFrame(
+        [("https://zz.end/1", _ts(0) + dt.timedelta(hours=6), None, "e",
+          "en")],
+        PAGES_DDL,
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    agg = streaming.session_crawl_bursts(
+        streaming.stream_pages(spark, landing, max_files_per_trigger=1),
+        gap="10 minutes",
+        watermark="30 minutes",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    streaming.run_to_parquet(agg, out, ckpt)
+    got = {
+        (r["host"], r["burst_start"].minute): r["n_pages"]
+        for r in spark.read.parquet(out).collect()
+        if r["host"] != "zz.end"
+    }
+    assert got == {
+        ("a.example.com", 0): 3,
+        ("a.example.com", 30): 2,
+        ("b.example.com", 5): 1,
+    }
+    # batch equality: same aggregation over the same files (minus the
+    # never-finalized sentinel session)
+    batch = {
+        (r["host"], r["burst_start"].minute): r["n_pages"]
+        for r in streaming.session_crawl_bursts(
+            spark.read.parquet(landing)
+        ).collect()
+        if r["host"] != "zz.end"
+    }
+    assert batch == got
+    # n_chars carried through: burst 1 of host a = 2+3+1 chars
+    chars = {
+        (r["host"], r["burst_start"].minute): r["n_chars"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert chars[("a.example.com", 0)] == 6
