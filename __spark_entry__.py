@@ -619,6 +619,15 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc (bits) — the
+    gibberish/binary-junk gate; entropy from sum(c*log2 c) so only
+    algebraic aggregates shuffle."""
+    from kgspark.dataops import char_entropy
+
+    return char_entropy(_read(spark, sf_dir, "documents"))
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5 star-join shape: revenue per nation within a region —
     the fact table streams through BROADCAST dimension joins
@@ -1745,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merged_distinct": _q_hll_merged_distinct,  # sketch algebra
         "table_checksum": _q_table_checksum,
         "bigram_lm_score": _q_bigram_lm_score,
+        "char_entropy": _q_char_entropy,
         "regional_revenue": _q_regional_revenue,  # TPC-H Q5 star join
         "customer_order_distribution": _q_customer_order_distribution,
         "scd2_history": _q_scd2_history,
@@ -2726,6 +2736,27 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "char_entropy": f"""
+            WITH chars AS (
+              SELECT doc_id, ch FROM (
+                SELECT doc_id,
+                       unnest(string_split({norm}, '')) AS ch
+                FROM documents) t
+              WHERE ch <> ''
+            ),
+            cc AS (
+              SELECT doc_id, ch, count(*) AS c
+              FROM chars GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     sum(c * log2(c)) AS clogc
+              FROM cc GROUP BY 1
+            )
+            SELECT doc_id, n AS n_chars_norm,
+                   round(log2(n) - clogc / n, 6) AS entropy_bits
+            FROM agg
         """,
         "regional_revenue": """
             SELECT n.n_name,

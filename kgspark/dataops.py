@@ -2843,3 +2843,35 @@ def bigram_lm_score(documents: DataFrame, alpha: float = 0.4) -> DataFrame:
         F.round("anlp", 6).alias("avg_neg_logp"),
         F.round(F.exp("anlp"), 6).alias("ppl"),
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of the character distribution per document (in
+    bits) — the cheap gibberish/binary-junk detector that complements
+    the word-level gates: natural language sits near 4-4.5 bits/char,
+    base64 blobs and key-mash noise push past 5, single-char spam
+    drops toward 0. One explode over characters -> per-(doc, char)
+    counts (map-side combinable) -> one algebraic agg; entropy derives
+    from sum(c*log c) and the total, so no per-doc probability
+    materializes.
+
+    Returns (doc_id, n_chars_norm, entropy_bits) rounded to 6 dp; the
+    entropy is over the NORMALIZED text (case-folded, whitespace
+    collapsed) so it composes with the other fingerprint ops.
+    """
+    chars = documents.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), "(?!$)")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_norm"),
+        F.round(
+            F.log2("n") - F.col("clogc") / F.col("n"), 6
+        ).alias("entropy_bits"),
+    )

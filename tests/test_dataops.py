@@ -1467,3 +1467,26 @@ def test_bigram_lm_flags_shuffled_text(spark):
         for r in dataops.unigram_lm_score(d).collect()
     }
     assert uni[99] == uni[0]
+
+
+def test_char_entropy_orders_texts_correctly(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [
+            (0, "aaaaaaaaaa", "en"),                    # ~0 bits
+            (1, "abababababab", "en"),                  # ~1 bit (+space? no)
+            (2, "the quick brown fox jumps", "en"),     # natural
+            (3, "q9$Kz!7pW@x2Lm#8vR%4tY&", "en"),       # key-mash
+        ],
+        DOCS_DDL,
+    )
+    got = {
+        r["doc_id"]: r["entropy_bits"]
+        for r in dataops.char_entropy(d).collect()
+    }
+    assert got[0] == 0.0
+    assert abs(got[1] - 1.0) < 1e-6
+    assert got[0] < got[1] < got[2] < got[3]
+    # closed form check for the two-symbol doc
+    assert got[1] == round(-2 * 0.5 * math.log2(0.5), 6)
