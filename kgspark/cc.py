@@ -244,6 +244,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     orient: str = "degree",
+    method: str = "adj",
 ) -> DataFrame:
     """Distributed triangle counting over an undirected edge list —
     the third classic graph-analytics op next to connected_components
@@ -262,11 +263,22 @@ def triangle_count(
       * orient="id": orient low id -> high id (the naive variant kept
         for tests/oracle parity — same count by symmetry).
 
-    Shape: wedge join (a->b)x(b->c) on b, then a semi-join of wedges
-    against the oriented edge set on (a, c). Two shuffles on edge
-    keys; no all-pairs stage anywhere. The count is orientation-
-    invariant, so the DuckDB oracle can verify the degree-oriented
-    plan with plain a<b<c SQL.
+    Counting method (both orientation-invariant, so the DuckDB oracle
+    verifies either with plain a<b<c SQL):
+
+      * method="adj" (default, the scale path): edge-iterator — build
+        per-node sorted out-adjacency arrays (out-degree is bounded by
+        the orientation), join each oriented edge to its endpoints'
+        arrays, count = sum of |N+(lo) & N+(hi)| via one JVM
+        array_intersect per edge. Shuffle volume is O(|E|) rows (plus
+        the two array joins), never the wedge set.
+      * method="wedge": materialize wedges (a->b)x(b->c) on b, then
+        semi-join against the closing edge set — the textbook plan,
+        kept for parity tests; its shuffle is sum(outdeg^2) rows
+        (~72M vs |E|=1.2M on the sf0.1 co-order graph; measured
+        13.0s vs 9.5s there same-session, and the gap widens with
+        density since wedge volume grows quadratically in degree
+        while adj volume stays linear in edges).
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
@@ -306,11 +318,36 @@ def triangle_count(
     else:  # pragma: no cover - guarded by tests
         raise ValueError(f"unknown orient: {orient}")
     oriented = oriented.localCheckpoint(eager=True)
-    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "z")
-    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-    tri = wedges.join(closing, ["x", "z"], "inner").count()
+    if method == "adj":
+        # edge-iterator: tri({a<b<c}) is counted exactly once, on its
+        # apex edge (a,b), as |N+(a) & N+(b)| — the closing sink c is
+        # an out-neighbor of both; the other two edges of the triangle
+        # contribute nothing (c has no out-edge into the triangle).
+        # This replaces the wedge join's sum(outdeg^2)-row shuffle
+        # (~72M rows on the sf0.1 co-order graph) with |E| rows x one
+        # sorted-array intersection each.
+        adj = oriented.groupBy(F.col("lo").alias("v")).agg(
+            F.sort_array(F.collect_list("hi")).alias("nbrs")
+        )
+        au = adj.select(F.col("v").alias("lo"), F.col("nbrs").alias("nu"))
+        av = adj.select(F.col("v").alias("hi"), F.col("nbrs").alias("nv"))
+        tri = (
+            oriented.join(au, "lo")
+            .join(av, "hi")
+            .select(
+                F.size(F.array_intersect("nu", "nv")).alias("c")
+            )
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
+            .first()["t"]
+        )
+    else:
+        e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+        e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+        wedges = e1.join(e2, "y").select("x", "z")
+        closing = oriented.select(
+            F.col("lo").alias("x"), F.col("hi").alias("z")
+        )
+        tri = wedges.join(closing, ["x", "z"], "inner").count()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(int(n_nodes), int(n_edges), int(tri))],

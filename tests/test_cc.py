@@ -210,7 +210,8 @@ def _brute_triangles(edges):
 
 
 @pytest.mark.parametrize("orient", ["degree", "id"])
-def test_triangle_count_vs_brute_force(spark, orient):
+@pytest.mark.parametrize("method", ["adj", "wedge"])
+def test_triangle_count_vs_brute_force(spark, orient, method):
     from kgspark.cc import triangle_count
 
     # deterministic pseudo-random graph with dup edges, both
@@ -218,7 +219,7 @@ def test_triangle_count_vs_brute_force(spark, orient):
     edges = [((i * 7) % 20, (i * 13 + 3) % 20) for i in range(120)]
     edges += [(b, a) for a, b in edges[:30]] + [(4, 4), (7, 7)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    row = triangle_count(df, orient=orient).collect()[0]
+    row = triangle_count(df, orient=orient, method=method).collect()[0]
     assert row["n_triangles"] == _brute_triangles(edges)
     canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
     assert row["n_edges"] == len(canon)
