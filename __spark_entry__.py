@@ -651,7 +651,9 @@ def _q_regional_revenue(spark, sf_dir):
     ).select("o_orderkey", "c_nk", "n_name")
     supp = supplier.select("s_suppkey", "s_nationkey")
     return (
-        li.join(F.broadcast(ords), li["l_orderkey"] == ords["o_orderkey"])
+        # ords is fact-sided (grows with sf) — let the planner/AQE
+        # pick its join strategy; only true dimensions are forced
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .filter(F.col("s_nationkey") == F.col("c_nk"))
         .groupBy("n_name")
@@ -2786,12 +2788,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_orders
         """,
         "table_checksum": """
+            -- per-column md5 tokens (NULL -> '-') concatenated, then
+            -- the 60-bit row hash: same NULL-safe scheme as Spark
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(COALESCE(bit_xor(
-                     ('0x' || substring(md5(concat_ws(chr(31),
-                        CAST(o_orderkey AS VARCHAR),
-                        CAST(o_custkey AS VARCHAR),
-                        o_orderstatus, o_orderpriority)), 1, 15)
+                     ('0x' || substring(md5(concat(
+                        COALESCE(md5(CAST(o_orderkey AS VARCHAR)), '-'),
+                        COALESCE(md5(CAST(o_custkey AS VARCHAR)), '-'),
+                        COALESCE(md5(o_orderstatus), '-'),
+                        COALESCE(md5(o_orderpriority), '-'))), 1, 15)
                      )::BIGINT), 0) AS BIGINT) AS checksum
             FROM orders
         """,
@@ -2951,11 +2956,19 @@ def oracle_sql() -> dict[str, str]:
                      lang, source, n_chars
               FROM documents WHERE doc_id % 10 <> 0
             ),
-            o AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang,
-                         source, CAST(n_chars AS VARCHAR))) AS old_hash
+            o AS (SELECT doc_id, md5(concat(
+                         COALESCE(md5(text), '-'),
+                         COALESCE(md5(lang), '-'),
+                         COALESCE(md5(source), '-'),
+                         COALESCE(md5(CAST(n_chars AS VARCHAR)), '-')
+                       )) AS old_hash
                   FROM oldt),
-            n AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang,
-                         source, CAST(n_chars AS VARCHAR))) AS new_hash
+            n AS (SELECT doc_id, md5(concat(
+                         COALESCE(md5(text), '-'),
+                         COALESCE(md5(lang), '-'),
+                         COALESCE(md5(source), '-'),
+                         COALESCE(md5(CAST(n_chars AS VARCHAR)), '-')
+                       )) AS new_hash
                   FROM newt),
             j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                          old_hash, new_hash

@@ -29,6 +29,19 @@ def norm_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def md5_hash60(col):
+    """THE engine-portable 60-bit hash (md5 / first 15 hex chars):
+    Spark `conv(substring(md5(x),1,15),16,10)::long` ==
+    DuckDB `('0x'||substring(md5(x),1,15))::BIGINT`. Every operator
+    that needs a cross-engine-checkable hash (bucketing, sampling,
+    checksums, seeded MinHash via its own prefixed variant) MUST go
+    through this one construction — a drifted copy silently breaks
+    Spark/DuckDB oracle parity."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text."""
     return documents.select(
@@ -917,10 +930,7 @@ def hash_bucket(col, buckets: int = 100):
     size, and run (required for auditable training-data subsets); the
     hash is the same md5/15-hex-char construction the MinHash md5 mode
     uses, so it is bit-identical in DuckDB oracle SQL."""
-    h = F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    return F.pmod(h, F.lit(buckets))
+    return F.pmod(md5_hash60(col), F.lit(buckets))
 
 
 def stratified_sample(
@@ -2209,9 +2219,16 @@ def paragraph_dedup(
     md5 of the surviving paragraphs joined by newline, the compact
     per-row invariant for the oracle.
     """
-    paras = _doc_paragraphs(
-        documents, mode=mode, delim=delim, words_per_para=words_per_para
-    ).withColumn("para_hash", F.md5(norm_text(F.col("para"))))
+    paras = (
+        _doc_paragraphs(
+            documents, mode=mode, delim=delim,
+            words_per_para=words_per_para,
+        )
+        .withColumn("para_hash", F.md5(norm_text(F.col("para"))))
+        # reused by the dup-set agg, the anti join, and the totals —
+        # split the corpus into paragraphs once
+        .localCheckpoint(eager=True)
+    )
     dup = (
         paras.select("para_hash", "doc_id")
         .distinct()
@@ -2280,6 +2297,10 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
             ),
         )
         .filter(F.col("word") != "")
+        # the token stream feeds two independent aggregations (per-doc
+        # tf and the corpus LM); checkpoint it once so the corpus is
+        # tokenized one time, not once per branch
+        .localCheckpoint(eager=True)
     )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     lm = words.groupBy("word").agg(F.count("*").alias("c"))
@@ -2497,11 +2518,16 @@ def data_quality_report(
 
     Scale shape: every check is a single column-pruned scan + one
     algebraic aggregate; `unique` is a map-side-combinable count per
-    key; `referential` is a left_anti join (broadcast when the parent
-    key set is a dimension). Results union to one tiny frame — the
-    checks never materialize violating ROWS (that is a debugging
-    query), only counts, so the report costs one pass per check
-    regardless of violation volume.
+    key; `referential` is a left_anti join whose strategy is left to
+    the planner/AQE (a dimension-sized parent broadcasts on its own;
+    forcing broadcast would OOM on a fact-sized parent). The checks
+    never materialize violating ROWS (that is a debugging query),
+    only counts, so each costs one pass regardless of violation
+    volume. The per-check counts are collected in a driver loop (one
+    tiny job per check — the checks scan DIFFERENT tables/columns, so
+    there is no shared exchange to fuse; at scale the wins come from
+    column pruning and partial aggs, not from stuffing unrelated
+    scans into one plan).
     """
     spark = next(iter(tables.values())).sparkSession
     outs = []
@@ -2540,7 +2566,7 @@ def data_quality_report(
             )
             n = (
                 t.select(c["column"])
-                .join(F.broadcast(parent), c["column"], "left_anti")
+                .join(parent, c["column"], "left_anti")
                 .count()
             )
         else:
@@ -2593,6 +2619,9 @@ def prefix_jaccard_join(
         word_shingles(documents, n=n)
         .select("doc_id", F.col("shingle").alias("tok"))
         .filter(F.col("tok") != "")
+        # reused by df counts, sizes, ranking, and the verify join —
+        # shingle the corpus once
+        .localCheckpoint(eager=True)
     )
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -2666,9 +2695,7 @@ def weighted_sample(
 
     Returns (key_col, weight, sample_key) for the k winners.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_hash60(F.col(key_col))
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
     sample_key = F.log(u) / F.col(weight_col)
     return (
@@ -2712,7 +2739,11 @@ def hll_merged_distinct(
     (hll_union_agg), not the data, demonstrating the algebra a
     snapshot-level stats table relies on. Returns one row per `part`
     plus a '__all__' row."""
-    sk = hll_partition_sketches(events, key=key, part=part)
+    # sketch once; the per-partition projection and the union row both
+    # read the (tiny) sketch table
+    sk = hll_partition_sketches(events, key=key, part=part).localCheckpoint(
+        eager=True
+    )
     per = sk.select(
         F.col(part).alias("partition"),
         "n_rows",
@@ -2740,24 +2771,22 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
     xor (not sum) keeps the aggregate exact and order-independent in
     64-bit ANSI arithmetic — a sum of full-range hashes overflows.
+    Each column is hashed SEPARATELY into a fixed-width token (NULL ->
+    a distinct sentinel) before the row hash, so NULL-position swaps
+    and values containing a would-be separator cannot collide.
     Multiset caveat: xor cancels DUPLICATE rows in pairs, so tables
     differing only by an even number of copies of the same row
     collide; include a uniquifying key in `cols` when rows can repeat.
     """
     cols = cols or df.columns
-    row_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "\x1f", *[F.col(c).cast("string") for c in cols]
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    row_hash = md5_hash60(
+        F.concat(
+            *[
+                F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+                for c in cols
+            ]
+        )
+    )
     return df.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.coalesce(F.bit_xor(row_hash), F.lit(0)).cast("bigint").alias(
@@ -2799,7 +2828,7 @@ def bigram_lm_score(documents: DataFrame, alpha: float = 0.4) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2").filter(
         (F.col("w1") != "") & (F.col("w2") != "")
-    )
+    ).localCheckpoint(eager=True)  # feeds four aggregation branches
     tf = bigrams.groupBy("doc_id", "w1", "w2").agg(
         F.count("*").alias("tf")
     )

@@ -240,7 +240,11 @@ class TableIO:
         row-hash comparison of the remaining columns, emitting
         (keys..., change in insert|delete|update, old_hash, new_hash).
         One shuffle on the key columns only; the row hash is computed
-        map-side so wide rows never shuffle twice.
+        map-side so wide rows never shuffle twice. Each column is
+        hashed SEPARATELY before the row hash (fixed-width tokens, a
+        distinct NULL sentinel) so NULL-position swaps and values
+        containing the separator cannot collide — concat_ws silently
+        drops NULLs, which would report real updates as unchanged.
         """
         from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -256,8 +260,13 @@ class TableIO:
             return added.unionByName(removed)
         val_cols = [c for c in new.columns if c not in keys]
         rh = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in val_cols]
+            F.concat(
+                *[
+                    F.coalesce(
+                        F.md5(F.col(c).cast("string")), F.lit("-")
+                    )
+                    for c in val_cols
+                ]
             )
         )
         o = old.select(*keys, rh.alias("old_hash"))

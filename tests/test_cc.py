@@ -321,8 +321,9 @@ def test_personalized_pagerank_localizes_mass(spark):
 
 
 def test_adamic_adar_hand_computed(spark):
-    # path graph 1-2-3 plus 3-4: AA(1,3) via 2: 1/ln(2); (2,4) via 3:
-    # 1/ln(2)... wait deg(3)=2 -> 1/ln(2). (1,4): no common neighbor.
+    # path graph 1-2-3-4: candidates are (1,3) via neighbor 2 and
+    # (2,4) via neighbor 3; both shared neighbors have degree 2, so
+    # both pairs score exactly 1/ln(2). (1,4) shares no neighbor.
     from kgspark.cc import adamic_adar
 
     e = spark.createDataFrame(
