@@ -115,6 +115,127 @@ class TableIO:
         self._store_manifest(table, manifest)
         return snap_id
 
+    # -- multi-table transactions -----------------------------------------
+    def _txn_path(self) -> str:
+        return os.path.join(self.warehouse, "__transactions.json")
+
+    def _load_txns(self) -> list[dict[str, Any]]:
+        if not os.path.exists(self._txn_path()):
+            return []
+        with open(self._txn_path()) as f:
+            return json.load(f)
+
+    def commit_many(
+        self,
+        tables: dict[str, DataFrame],
+        metadata: dict[str, Any] | None = None,
+    ) -> str:
+        """Atomic multi-table commit (the Iceberg catalog-transaction
+        analog): readers must never observe the kg_nodes snapshot from
+        one pipeline run joined against kg_edges from another — edge
+        endpoints would dangle. Protocol:
+
+        1. write every table's data dir and append its snapshot entry
+           WITHOUT advancing the table's `current` pointer (pending
+           snapshots are invisible to readers);
+        2. the commit point: ONE atomic os.replace of the warehouse
+           transaction log recording {txn_id, table -> snapshot};
+        3. roll each table's `current` pointer forward (best-effort —
+           a crash here is repaired by `recover_transactions`, and
+           `read_txn` is immune because it resolves snapshots through
+           the txn record, never through the pointers).
+
+        A crash BEFORE step 2 leaves every pointer on the old
+        snapshots (pending data is unreachable garbage, reclaimable by
+        expire_snapshots); a crash AFTER step 2 is completed by
+        recovery. Either way no reader sees a mixed state.
+
+        Returns the transaction id.
+        """
+        staged: dict[str, str] = {}
+        for table, df in tables.items():
+            manifest = self._load_manifest(table)
+            snap_id = f"s{len(manifest['snapshots']):04d}"
+            path = os.path.join(self.warehouse, table, snap_id)
+            df.write.mode("overwrite").parquet(path)
+            manifest["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "path": path,
+                    "input_snapshot": None,
+                    "metadata": {"pending_txn": True},
+                }
+            )
+            self._store_manifest(table, manifest)  # current unchanged
+            staged[table] = snap_id
+        txns = self._load_txns()
+        txn_id = f"t{len(txns):04d}"
+        txns.append(
+            {"id": txn_id, "tables": staged, "metadata": metadata or {}}
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".txn")
+        with os.fdopen(fd, "w") as f:
+            json.dump(txns, f, indent=1)
+        os.replace(tmp, self._txn_path())  # <- the commit point
+        self._roll_forward(txns[-1])
+        return txn_id
+
+    def _roll_forward(self, txn: dict[str, Any]) -> None:
+        for table, snap_id in txn["tables"].items():
+            manifest = self._load_manifest(table)
+            for s in manifest["snapshots"]:
+                if s["id"] == snap_id:
+                    s["metadata"].pop("pending_txn", None)
+            manifest["current"] = snap_id
+            self._store_manifest(table, manifest)
+
+    def recover_transactions(self) -> list[str]:
+        """Complete any committed transaction whose per-table pointer
+        roll-forward was interrupted (idempotent). Run at warehouse
+        open, like Iceberg catalog recovery. Returns repaired ids."""
+        repaired = []
+        for txn in self._load_txns():
+            stale = [
+                t
+                for t, s in txn["tables"].items()
+                if self._load_manifest(t)["current"] != s
+                and any(
+                    e["id"] == s for e in self._load_manifest(t)["snapshots"]
+                )
+            ]
+            # only the LATEST txn per table may roll forward; older
+            # txns legitimately have superseded pointers
+            latest_for: dict[str, str] = {}
+            for t2 in self._load_txns():
+                for tab, sn in t2["tables"].items():
+                    latest_for[tab] = sn
+            stale = [t for t in stale if latest_for.get(t) == txn["tables"][t]]
+            if stale:
+                self._roll_forward(txn)
+                repaired.append(txn["id"])
+        return repaired
+
+    def read_txn(
+        self,
+        spark: SparkSession,
+        txn_id: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Read EVERY table of a transaction at its recorded snapshot
+        — cross-table-consistent regardless of pointer state. Default:
+        the latest transaction."""
+        txns = self._load_txns()
+        if not txns:
+            raise FileNotFoundError("no transactions committed")
+        txn = (
+            txns[-1]
+            if txn_id is None
+            else next(t for t in txns if t["id"] == txn_id)
+        )
+        return {
+            table: self.read(spark, table, snapshot=snap_id)
+            for table, snap_id in txn["tables"].items()
+        }
+
     # -- reads -------------------------------------------------------------
     def read(
         self, spark: SparkSession, table: str, snapshot: str | None = None
