@@ -527,6 +527,22 @@ def _q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search (vector-DB pre-filter
+    strategy): semi-join the allowed ids (lang='en' documents) BEFORE
+    any distance math, then cosine top-k over survivors — guarantees
+    k hits when they exist, never scores excluded rows."""
+    from kgspark.dataops import filtered_ann
+
+    q = _query_vec(spark, sf_dir)
+    allowed = _read(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select("doc_id")
+    return filtered_ann(
+        _read(spark, sf_dir, "embeddings"), allowed, q, k=10
+    ).select("vec_id", F.round("score", 6).alias("score"))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN. Oracle re-derives the argmax-cosine cell assignment and
     the 3 probed cells in SQL (centroids = first 8 embeddings by
@@ -1790,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dup": _q_winnow_near_dup,
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_filtered_topk": _q_ann_filtered_topk,  # pre-filter strategy
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,  # same oracle as ivf
         "hybrid_fusion_topk": _q_hybrid_fusion,
@@ -2266,6 +2283,19 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round({_COS_SQL}, 6) AS score
             FROM embeddings, q
+            ORDER BY {_COS_SQL} DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_filtered_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cand AS (
+              SELECT e.* FROM embeddings e
+              SEMI JOIN (SELECT doc_id FROM documents
+                         WHERE lang = 'en') d
+                ON e.vec_id = d.doc_id
+            )
+            SELECT vec_id, round({_COS_SQL}, 6) AS score
+            FROM cand, q
             ORDER BY {_COS_SQL} DESC, vec_id
             LIMIT 10
         """,

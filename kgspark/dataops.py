@@ -2904,3 +2904,36 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             F.log2("n") - F.col("clogc") / F.col("n"), 6
         ).alias("entropy_bits"),
     )
+
+
+def filtered_ann(
+    embeddings: DataFrame,
+    allowed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-filtered vector search (the vector-DB 'pre-filter'
+    strategy): restrict the candidate set with a semi-join on the
+    allowed-id frame BEFORE any distance math, then exact cosine
+    top-k over the survivors. Pre-filtering (vs post-filtering the
+    top-k) guarantees k results whenever k matches exist and never
+    wastes distance computations on rows the predicate excludes; the
+    allowed set is typically a dimension-sized id list (broadcast) or
+    a partition-pruned scan. One narrow scan + TakeOrderedAndProject,
+    same as brute_force_ann."""
+    from .query import cosine_score  # noqa: PLC0415
+
+    cand = embeddings.join(
+        allowed.select(F.col(allowed.columns[0]).alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return (
+        cand.select(
+            id_col,
+            cosine_score(F.col("embedding"), query_vec).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1490,3 +1490,26 @@ def test_char_entropy_orders_texts_correctly(spark):
     assert got[0] < got[1] < got[2] < got[3]
     # closed form check for the two-symbol doc
     assert got[1] == round(-2 * 0.5 * math.log2(0.5), 6)
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    import math
+
+    rows = [(i, [math.cos(i * 0.3), math.sin(i * 0.3)], i % 2)
+            for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    allowed = emb.filter(F.col("label") == 1).select("vec_id")
+    q = [1.0, 0.0]
+    got = dataops.filtered_ann(emb, allowed, q, k=5).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 5 and all(i % 2 == 1 for i in ids)
+    # equals brute force over the restricted set (pre-filter, so the
+    # k results are the best ALLOWED rows, not allowed rows of top-k)
+    brute = sorted(
+        ((i, v) for i, v, lab in rows if lab == 1),
+        key=lambda t: -(t[1][0] * 1.0 + t[1][1] * 0.0)
+        / math.hypot(*t[1]),
+    )[:5]
+    assert ids == [i for i, _ in brute]
