@@ -81,3 +81,46 @@ def test_hll_sketch_rows_are_fixed_size(spark):
         F.length("sketch").alias("len")
     ).first()
     assert sk["len"] < 64 * 1024
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """The AQE skew-join backstop the ingest stages rely on must
+    actually fire: on a 95%-hot-key join with test-sized thresholds,
+    the FINAL adaptive plan's SortMergeJoin must carry skew=true
+    (the hot partition was split across tasks instead of funneling
+    through one)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(
+                F.lit("x" * 100), F.col("id").cast("string")
+            ).alias("pad"),
+        )
+        right = spark.range(5_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("v")
+        )
+        agg = left.join(right, "k").agg(
+            F.sum(F.length("pad")).alias("s")
+        )
+        got = agg.collect()[0]["s"]
+        # every key-0 left row matches (k=0 exists on the right); the
+        # multiples of 20 match their own id when < 5000
+        assert got > 0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
