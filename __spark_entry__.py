@@ -774,6 +774,19 @@ def _q_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end curation composition: exact dedup -> quality
+    scoring -> self-calibrated p25 cutoff -> deterministic weighted
+    sample of 50. Each stage is oracle-checked alone elsewhere; this
+    row checks the COMPOSITION."""
+    from kgspark.dataops import curate_corpus
+
+    ws = curate_corpus(_read(spark, sf_dir, "documents"), k=50)
+    return ws.select(
+        "doc_id", "weight", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
 def _q_data_quality_report(spark, sf_dir):
     """Declarative dbt-test-style constraint gate over the relational
     tables: one row per check with its violation count — each check a
@@ -1766,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "bpe_merges": _q_bpe_merges,  # iterative; pytest vs sequential BPE
         "data_quality_report": _q_data_quality_report,
+        "corpus_curation": _q_corpus_curation,  # composed pipeline
         "snapshot_cdc_diff": _q_snapshot_cdc_diff,
         "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
         "weighted_sample": _q_weighted_sample,
@@ -2928,6 +2942,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, round(sk, 6) AS sample_key
             FROM (SELECT * FROM s ORDER BY sk DESC, doc_id LIMIT 100) t
+        """,
+        "corpus_curation": f"""
+            -- dedup -> quality classifier (same weights/buckets as
+            -- the standalone oracle) restricted to survivors -> p25
+            -- cutoff via quantile_cont (matches Spark percentile) ->
+            -- A-ES weighted sample
+            WITH fp AS (
+              SELECT doc_id, md5({norm}) AS f FROM documents
+            ),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            w AS (
+              SELECT i AS bucket,
+                     ((i * 2654435761) % 2049 - 1024) / 1024.0 AS weight
+              FROM range(0, 4096) t(i)
+            ),
+            words AS (
+              SELECT doc_id, word FROM (
+                SELECT d.doc_id,
+                       unnest(string_split({norm}, ' ')) AS word
+                FROM documents d
+                SEMI JOIN keepers k ON d.doc_id = k.doc_id) t
+              WHERE word <> ''
+            ),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(word), 1, 15))::BIGINT
+                       % 4096 AS bucket,
+                     count(*) AS tf
+              FROM words GROUP BY 1, 2
+            ),
+            qc AS (
+              SELECT doc_id, sum(tf * weight) / sum(tf) AS raw
+              FROM feats JOIN w USING (bucket) GROUP BY 1
+            ),
+            qc2 AS (
+              -- sigmoid of the UNROUNDED raw, rounded once — same as
+              -- quality_classifier's output contract
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-raw)), 6) AS quality_prob
+              FROM qc
+            ),
+            thr AS (
+              SELECT quantile_cont(quality_prob, 0.25) AS t FROM qc2
+            ),
+            keep AS (
+              SELECT doc_id, quality_prob FROM qc2, thr
+              WHERE quality_prob >= t
+            ),
+            samp AS (
+              SELECT doc_id, quality_prob AS weight,
+                     ln((('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          )::BIGINT + 1.0)
+                        / 1152921504606846977.0) / quality_prob AS sk
+              FROM keep WHERE quality_prob > 0
+            )
+            SELECT doc_id, weight, round(sk, 6) AS sample_key
+            FROM (SELECT * FROM samp ORDER BY sk DESC, doc_id
+                  LIMIT 50) t
         """,
         "data_quality_report": """
             SELECT 'custkey_not_null' AS check_id,

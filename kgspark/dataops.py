@@ -2937,3 +2937,42 @@ def filtered_ann(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def curate_corpus(
+    documents: DataFrame, k: int = 50, threshold_pct: float = 0.25
+) -> DataFrame:
+    """End-to-end training-corpus curation, composed from the
+    engine's own primitives — the pipeline a data team actually runs,
+    as ONE lazy plan:
+
+      1. exact dedup (keep min doc_id per normalized fingerprint);
+      2. model-based quality scoring of the survivors
+         (quality_classifier — broadcast fixed-size weight table);
+      3. SELF-CALIBRATED cutoff: drop the worst `threshold_pct`
+         quantile of the corpus's own score distribution (exact
+         interpolated percentile — no magic constants to re-tune per
+         crawl);
+      4. deterministic weighted sampling of the keepers by quality
+         (A-ES, md5-derived uniforms) down to k documents.
+
+    Every stage is individually oracle-checked elsewhere; this query
+    checks their COMPOSITION end-to-end. Shuffle budget: dedup agg +
+    classifier agg + one 1-row percentile + a zero-shuffle
+    TakeOrdered — nothing quadratic, nothing collected but the
+    threshold scalar.
+    """
+    survivors = exact_dedup(documents).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept_docs = documents.join(survivors, "doc_id", "left_semi")
+    qc = quality_classifier(kept_docs).select("doc_id", "quality_prob")
+    thr = qc.agg(
+        F.expr(
+            f"percentile(quality_prob, {threshold_pct})"
+        ).alias("__thr")
+    )
+    keep = qc.crossJoin(F.broadcast(thr)).filter(
+        F.col("quality_prob") >= F.col("__thr")
+    )
+    return weighted_sample(keep, "quality_prob", k=k)

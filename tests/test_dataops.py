@@ -1513,3 +1513,28 @@ def test_filtered_ann_prefilter_semantics(spark):
         / math.hypot(*t[1]),
     )[:5]
     assert ids == [i for i, _ in brute]
+
+
+def test_curate_corpus_composition_invariants(spark):
+    rows = [(i, f"doc body {'common words here ' * (1 + i % 4)}tok{i}",
+             "en") for i in range(40)]
+    rows += [(100, rows[0][1], "en"), (101, rows[1][1], "en")]  # dups
+    d = spark.createDataFrame(rows, DOCS_DDL)
+    out = dataops.curate_corpus(d, k=10, threshold_pct=0.25).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    # duplicate copies (100, 101) never survive dedup
+    assert 100 not in ids and 101 not in ids
+    # every sampled doc clears the self-calibrated p25 cutoff
+    qc = dataops.quality_classifier(
+        d.filter(~F.col("doc_id").isin(100, 101))
+    ).select("doc_id", "quality_prob")
+    probs = {r["doc_id"]: r["quality_prob"] for r in qc.collect()}
+    import numpy as np
+
+    thr = float(np.percentile(
+        sorted(probs.values()), 25, method="linear"))
+    assert all(probs[i] >= thr - 1e-9 for i in ids)
+    # deterministic
+    out2 = dataops.curate_corpus(d, k=10, threshold_pct=0.25).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
