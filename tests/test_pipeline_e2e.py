@@ -90,3 +90,22 @@ def test_mentions_reference_chunks(frames):
     c = frames["chunks"]
     dangling = m.join(c, "chunk_id", "left_anti").count()
     assert dangling == 0
+
+
+def test_ingest_chain_is_zero_shuffle(spark):
+    """SCALE.md's core structural claim, locked as a regression test:
+    S1->S4 (extract_text -> chunk -> embed -> extract) is a pure map
+    chain — NO Exchange anywhere in the physical plan, so 100 TB of
+    pages flows scan -> Arrow -> Python -> sink without touching the
+    shuffle service."""
+    from kgspark import stages
+    from kgspark.fixtures import pages_df
+
+    pages = pages_df(spark, 20)
+    chunks = stages.chunk(stages.extract_text(pages))
+    for df in (
+        stages.embed(chunks),
+        stages.raw_edges_of(stages.extract(chunks)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
