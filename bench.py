@@ -408,8 +408,12 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         def link_prediction():
             from kgspark.cc import adamic_adar, co_order_pairs  # noqa: PLC0415
 
+            # cap 96 (vs the sf0.01 driver query's 128): the sf0.1
+            # co-order graph has median degree 119, so 128 admits 74M
+            # wedges vs 12M at 96 — the hub cap IS the cost lever and
+            # the bench times the capped production shape
             adamic_adar(
-                co_order_pairs(read("lineitem")), max_deg=128, k=20
+                co_order_pairs(read("lineitem")), max_deg=96, k=20
             ).collect()
 
         timed("link_prediction", link_prediction)
