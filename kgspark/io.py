@@ -309,7 +309,11 @@ class TableIO:
         ]
         if not paths:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        return spark.read.parquet(*paths)
+        # mergeSchema: snapshots may span a schema evolution (a column
+        # added in a later commit) — the Iceberg add-column analog;
+        # old rows surface NULL for new columns instead of the union
+        # failing or silently adopting one file's schema
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def accumulated_snapshots(self, table: str) -> list[dict[str, Any]]:
         """The snapshot entries that make up the table's accumulated
@@ -336,7 +340,7 @@ class TableIO:
         incremental appends (Iceberg analog: the current snapshot of an
         append-written table). See accumulated_snapshots."""
         paths = [s["path"] for s in self.accumulated_snapshots(table)]
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def current_snapshot(self, table: str) -> str | None:
         return self._load_manifest(table)["current"]

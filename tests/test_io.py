@@ -373,3 +373,26 @@ class TestMultiTableTransactions:
         assert _n1(io2.read(spark, "tnodes")) == "n1_v2"
         assert io2.read(spark, "tedges").first()["p"] == "rel_v2"
         assert io2.recover_transactions() == []
+
+
+def test_schema_evolution_across_append_snapshots(spark, tmp_path):
+    """Iceberg add-column analog: an appended snapshot may carry a NEW
+    column; accumulated reads merge schemas and old rows surface NULL
+    instead of the union failing or adopting one file's schema."""
+    from kgspark.io import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    io.commit("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    io.commit(
+        "t",
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        ),
+        metadata={"mode": "append"},
+    )
+    acc = io.read_accumulated(spark, "t")
+    assert set(acc.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in acc.collect()}
+    assert rows == {1: None, 2: 9.5}
+    allr = io.read_all(spark, "t")
+    assert set(allr.columns) == {"k", "v", "score"}
