@@ -865,6 +865,15 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_user_value_ewma(spark, sf_dir):
+    """Recency-weighted (EWMA, alpha=1/2, last 10 events) value
+    feature per user: unrolled lag expression over one time-ordered
+    window — single exchange, bit-deterministic summation order."""
+    from kgspark.dataops import ewma_features
+
+    return ewma_features(_read(spark, sf_dir, "events"))
+
+
 def _q_scd2_history(spark, sf_dir):
     """Type-2 SCD materialization of the events change stream:
     gaps-and-islands run collapse + lead() validity intervals — ONE
@@ -1790,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": _q_regional_revenue,  # TPC-H Q5 star join
         "customer_order_distribution": _q_customer_order_distribution,
         "scd2_history": _q_scd2_history,
+        "user_value_ewma": _q_user_value_ewma,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -3330,6 +3340,31 @@ def oracle_sql() -> dict[str, str]:
                        % 100 AS b
               FROM documents) t
         GROUP BY 1
+    """
+    # EWMA: same unrolled lag expression, same left-to-right summation
+    # order; alpha=1/2 weights are exact negative powers of two
+    _lags = ",\n               ".join(
+        f"lag(value, {j}) OVER w AS l{j}" for j in range(1, 10)
+    )
+    _terms = ["COALESCE(value * 0.5, 0)"] + [
+        f"COALESCE(l{j} * {0.5 * 0.5 ** j!r}, 0)" for j in range(1, 10)
+    ]
+    _dens = ["CASE WHEN value IS NOT NULL THEN 0.5 ELSE 0 END"] + [
+        f"CASE WHEN l{j} IS NOT NULL THEN {0.5 * 0.5 ** j!r} ELSE 0 END"
+        for j in range(1, 10)
+    ]
+    oracles["user_value_ewma"] = f"""
+        WITH b AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+               {_lags}
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT event_id, user_id, ts_us, value,
+               round(({' + '.join(_terms)})
+                     / ({' + '.join(_dens)}), 6) AS ewma
+        FROM b
     """
     oracles["part_triangles"] = """
         -- count is orientation-invariant: plain a<b<c id-order SQL

@@ -2976,3 +2976,48 @@ def curate_corpus(
         F.col("quality_prob") >= F.col("__thr")
     )
     return weighted_sample(keep, "quality_prob", k=k)
+
+
+def ewma_features(
+    events: DataFrame, alpha: float = 0.5, window_rows: int = 10
+) -> DataFrame:
+    """Exponentially-weighted moving average of `value` per user — the
+    recency-weighted feature behind spend-velocity / engagement-decay
+    signals. Truncated to the last `window_rows` events and
+    RENORMALIZED over the weights actually present, so early rows
+    (fewer lags) are unbiased rather than damped toward zero.
+
+    Implementation: the EWMA recurrence is unrolled into a FIXED
+    weighted sum of lag(value, j) expressions over one (user_id,
+    time)-ordered window — a single projection per row, one exchange
+    on user_id, and (because the expression tree, not partition
+    order, fixes the summation order) bit-deterministic across
+    engines and cluster sizes. alpha defaults to 1/2 so every weight
+    alpha*(1-alpha)^j is a negative power of two — binary-exact.
+
+    Returns (event_id, user_id, ts_us, value, ewma) with ewma rounded
+    to 6 dp.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    us = ts_micros(events, "ts")
+    base = events.select(
+        "event_id", "user_id", us.alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(window_rows):
+        wj = alpha * (1.0 - alpha) ** j
+        lagv = F.lag("value", j).over(w) if j else F.col("value")
+        num = num + F.coalesce(lagv * F.lit(wj), F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(wj)).otherwise(
+            F.lit(0.0)
+        )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )

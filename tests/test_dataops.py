@@ -1538,3 +1538,30 @@ def test_curate_corpus_composition_invariants(spark):
     # deterministic
     out2 = dataops.curate_corpus(d, k=10, threshold_pct=0.25).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_ewma_hand_computed_and_renormalized(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (0, dt(2024, 1, 1, 0, 0), 7, "x", 10.0, "{}"),
+        (1, dt(2024, 1, 1, 1, 0), 7, "x", 20.0, "{}"),
+        (2, dt(2024, 1, 1, 2, 0), 7, "x", 40.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in dataops.ewma_features(ev, alpha=0.5).collect()
+    }
+    # first row: only itself -> renormalized EWMA equals the value
+    assert got[0] == 10.0
+    # second: (0.5*20 + 0.25*10)/(0.75)
+    assert got[1] == round((0.5 * 20 + 0.25 * 10) / 0.75, 6)
+    # third: (0.5*40 + 0.25*20 + 0.125*10)/(0.875)
+    assert got[2] == round(
+        (0.5 * 40 + 0.25 * 20 + 0.125 * 10) / 0.875, 6
+    )
