@@ -865,6 +865,16 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup -> view -> purchase: stage k
+    admits only events at-or-after the user's stage-k-1 time; k
+    algebraic min-aggs on user_id, exact interpolated median
+    hours-from-previous per stage."""
+    from kgspark.dataops import funnel_stages
+
+    return funnel_stages(_read(spark, sf_dir, "events"))
+
+
 def _q_user_value_ewma(spark, sf_dir):
     """Recency-weighted (EWMA, alpha=1/2, last 10 events) value
     feature per user: unrolled lag expression over one time-ordered
@@ -1800,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "scd2_history": _q_scd2_history,
         "user_value_ewma": _q_user_value_ewma,
+        "event_funnel": _q_event_funnel,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -3095,6 +3106,41 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE old_hash IS NULL OR new_hash IS NULL
                OR old_hash <> new_hash
+        """,
+        "event_funnel": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts_us
+              FROM events
+            ),
+            s0 AS (
+              SELECT user_id, min(ts_us) AS r FROM ev
+              WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts_us) AS r, min(s0.r) AS p
+              FROM ev e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'view' AND e.ts_us >= s0.r
+              GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts_us) AS r, min(s1.r) AS p
+              FROM ev e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_us >= s1.r
+              GROUP BY 1
+            )
+            SELECT 0 AS stage_index, 'signup' AS stage,
+                   CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users,
+                   CAST(NULL AS DOUBLE) AS median_hours_from_prev
+            UNION ALL
+            SELECT 1, 'view',
+                   CAST((SELECT count(*) FROM s1) AS BIGINT),
+                   (SELECT round(
+                      quantile_cont((r - p) / 3.6e9, 0.5), 6) FROM s1)
+            UNION ALL
+            SELECT 2, 'purchase',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT),
+                   (SELECT round(
+                      quantile_cont((r - p) / 3.6e9, 0.5), 6) FROM s2)
         """,
         "scd2_history": """
             WITH ev AS (

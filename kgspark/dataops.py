@@ -3021,3 +3021,58 @@ def ewma_features(
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def funnel_stages(
+    events: DataFrame, stages: list[str] | None = None
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each stage IN
+    ORDER (stage k counts only events at-or-after the user's stage
+    k-1 timestamp). One pass per stage: an algebraic min-timestamp agg
+    on user_id, joined back to filter the next stage's candidate
+    events — k stages = k small aggs on the SAME key, no windows over
+    the whole stream, no per-user event sorting.
+
+    Returns one row per stage: (stage_index, stage, n_users,
+    median_hours_from_prev) — the conversion table.
+    """
+    stages = stages or ["signup", "view", "purchase"]
+    us = ts_micros(events, "ts")
+    ev = events.select(
+        "user_id", "event_type", us.alias("ts_us")
+    )
+    spark = events.sparkSession
+    prev = None  # DataFrame (user_id, reach_us) of the previous stage
+    out_rows = []
+    for i, stage in enumerate(stages):
+        cand = ev.filter(F.col("event_type") == stage)
+        if prev is not None:
+            cand = cand.join(prev, "user_id").filter(
+                F.col("ts_us") >= F.col("reach_us")
+            )
+        reached = cand.groupBy("user_id").agg(
+            F.min("ts_us").alias("r_us"),
+            *(
+                [F.min(F.col("reach_us")).alias("p_us")]
+                if prev is not None
+                else []
+            ),
+        )
+        if prev is not None:
+            med = reached.agg(
+                F.round(
+                    F.expr("percentile((r_us - p_us) / 3.6e9, 0.5)"), 6
+                ).alias("m")
+            ).first()["m"]
+        else:
+            med = None
+        n = reached.count()
+        out_rows.append((i, stage, int(n), med))
+        prev = reached.select(
+            "user_id", F.col("r_us").alias("reach_us")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows,
+        "stage_index int, stage string, n_users bigint,"
+        " median_hours_from_prev double",
+    )

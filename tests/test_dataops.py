@@ -1565,3 +1565,38 @@ def test_ewma_hand_computed_and_renormalized(spark):
     assert got[2] == round(
         (0.5 * 40 + 0.25 * 20 + 0.125 * 10) / 0.875, 6
     )
+
+
+def test_funnel_orders_stages_strictly(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        # u1 completes in order
+        (0, dt(2024, 1, 1, 0), 1, "signup", 0.0, "{}"),
+        (1, dt(2024, 1, 1, 2), 1, "view", 0.0, "{}"),
+        (2, dt(2024, 1, 1, 4), 1, "purchase", 0.0, "{}"),
+        # u2 viewed BEFORE signing up -> stops at signup
+        (3, dt(2024, 1, 2, 0), 2, "view", 0.0, "{}"),
+        (4, dt(2024, 1, 2, 1), 2, "signup", 0.0, "{}"),
+        # u3 purchases before viewing -> reaches view, not purchase
+        (5, dt(2024, 1, 3, 0), 3, "signup", 0.0, "{}"),
+        (6, dt(2024, 1, 3, 1), 3, "purchase", 0.0, "{}"),
+        (7, dt(2024, 1, 3, 2), 3, "view", 0.0, "{}"),
+        # u4 never signs up
+        (8, dt(2024, 1, 4, 0), 4, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    got = {
+        r["stage"]: r for r in dataops.funnel_stages(ev).collect()
+    }
+    assert got["signup"]["n_users"] == 3       # u1, u2, u3
+    assert got["view"]["n_users"] == 2         # u1, u3 (u2 viewed early)
+    assert got["purchase"]["n_users"] == 1     # u1 only
+    # u1 viewed 2h after signup, u3 also 2h after -> median 2h
+    assert got["view"]["median_hours_from_prev"] == 2.0
+    # u1's purchase lands 2h after its view
+    assert got["purchase"]["median_hours_from_prev"] == 2.0

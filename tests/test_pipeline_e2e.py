@@ -109,3 +109,19 @@ def test_ingest_chain_is_zero_shuffle(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_no_per_row_python_udf_anywhere():
+    """input_hint mandate, locked: vectorized pandas/Arrow UDFs only —
+    no row-at-a-time F.udf / @udf in any engine module."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "kgspark"
+    offenders = []
+    for p in sorted(root.glob("*.py")):
+        src = p.read_text()
+        if re.search(r"(?<!pandas_)\budf\s*\(", src.replace("@F.pandas_udf", "")
+                     .replace("F.pandas_udf", "").replace("pandas_udf", "")):
+            offenders.append(p.name)
+    assert offenders == []
