@@ -865,6 +865,15 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_value_moments(spark, sf_dir):
+    """Drift-monitoring moments per event type: mean / sample stddev /
+    mean-median skew proxy / corr(value, hour-of-day) — co-moment
+    aggregates, map-side combinable, one small-key exchange."""
+    from kgspark.dataops import value_moments
+
+    return value_moments(_read(spark, sf_dir, "events"))
+
+
 def _q_event_funnel(spark, sf_dir):
     """Ordered conversion funnel signup -> view -> purchase: stage k
     admits only events at-or-after the user's stage-k-1 time; k
@@ -1811,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "user_value_ewma": _q_user_value_ewma,
         "event_funnel": _q_event_funnel,
+        "value_moments": _q_value_moments,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -3106,6 +3116,16 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE old_hash IS NULL OR new_hash IS NULL
                OR old_hash <> new_hash
+        """,
+        "value_moments": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS mean_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   round(avg(value) - quantile_cont(value, 0.5), 6)
+                     AS mean_minus_median,
+                   round(corr(value, (epoch_us(ts) / 3.6e9) % 24), 6)
+                     AS corr_value_hour
+            FROM events GROUP BY event_type
         """,
         "event_funnel": """
             WITH ev AS (

@@ -3076,3 +3076,27 @@ def funnel_stages(
         "stage_index int, stage string, n_users bigint,"
         " median_hours_from_prev double",
     )
+
+
+def value_moments(events: DataFrame) -> DataFrame:
+    """Per-type distribution moments of the value stream: count, mean,
+    sample stddev, skew proxy (mean - median), and the correlation of
+    value with hour-of-day — the drift-monitoring panel a feature
+    store recomputes per partition. All algebraic/sketchable
+    aggregates (corr/stddev accumulate co-moments map-side), one
+    exchange on the small group key.
+    """
+    us = ts_micros(events, "ts")
+    hour = (us / F.lit(3.6e9)) % 24
+    base = events.select(
+        "event_type", "value", hour.alias("hod")
+    )
+    return base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(
+            F.avg("value") - F.expr("percentile(value, 0.5)"), 6
+        ).alias("mean_minus_median"),
+        F.round(F.corr("value", "hod"), 6).alias("corr_value_hour"),
+    )

@@ -1600,3 +1600,28 @@ def test_funnel_orders_stages_strictly(spark):
     assert got["view"]["median_hours_from_prev"] == 2.0
     # u1's purchase lands 2h after its view
     assert got["purchase"]["median_hours_from_prev"] == 2.0
+
+
+def test_value_moments_against_numpy(spark):
+    import numpy as np
+    from datetime import datetime as dt, timedelta
+
+    vals = [float(v) for v in (1, 2, 3, 4, 100)]
+    rows = [
+        (i, dt(2024, 1, 1) + timedelta(hours=i), 1, "buy", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = dataops.value_moments(ev).first()
+    assert r["n"] == 5
+    assert r["mean_value"] == round(float(np.mean(vals)), 6)
+    assert r["stddev_value"] == round(float(np.std(vals, ddof=1)), 6)
+    assert r["mean_minus_median"] == round(
+        float(np.mean(vals) - np.median(vals)), 6
+    )
+    # value rises with hour here -> strong positive correlation
+    assert r["corr_value_hour"] > 0.5
