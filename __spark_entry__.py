@@ -865,6 +865,17 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance scores over hashed unigram
+    features: avg log p_target/p_corpus per doc, target = the
+    deterministic doc_id%97 slice; both distributions are fixed
+    4096-bucket smoothed tables, the log-ratio table broadcasts."""
+    from kgspark.dataops import dsir_importance
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
 def _q_value_moments(spark, sf_dir):
     """Drift-monitoring moments per event type: mean / sample stddev /
     mean-median skew proxy / corr(value, hour-of-day) — co-moment
@@ -1821,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_ewma": _q_user_value_ewma,
         "event_funnel": _q_event_funnel,
         "value_moments": _q_value_moments,
+        "dsir_importance": _q_dsir_importance,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -3116,6 +3128,53 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE old_hash IS NULL OR new_hash IS NULL
                OR old_hash <> new_hash
+        """,
+        "dsir_importance": f"""
+            -- same md5/15-hex bucket hash; add-1 smoothing over all
+            -- 4096 buckets for both distributions
+            WITH words AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split({norm}, ' ')) AS word
+                FROM documents) t
+              WHERE word <> ''
+            ),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(word), 1, 15))::BIGINT
+                       % 4096 AS bucket
+              FROM words
+            ),
+            buckets AS (SELECT i AS bucket FROM range(0, 4096) t(i)),
+            tc AS (
+              SELECT bucket, count(*) AS c FROM feats
+              WHERE doc_id % 97 = 0 GROUP BY 1
+            ),
+            tdist AS (
+              SELECT b.bucket,
+                     (COALESCE(tc.c, 0) + 1.0)
+                     / ((SELECT COALESCE(sum(c), 0) FROM tc) + 4096.0)
+                       AS pt
+              FROM buckets b LEFT JOIN tc USING (bucket)
+            ),
+            cc AS (
+              SELECT bucket, count(*) AS c FROM feats GROUP BY 1
+            ),
+            cdist AS (
+              SELECT b.bucket,
+                     (COALESCE(cc.c, 0) + 1.0)
+                     / ((SELECT COALESCE(sum(c), 0) FROM cc) + 4096.0)
+                       AS pc
+              FROM buckets b LEFT JOIN cc USING (bucket)
+            ),
+            ratio AS (
+              SELECT bucket, ln(pt) - ln(pc) AS logratio
+              FROM tdist JOIN cdist USING (bucket)
+            )
+            SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(r.logratio), 6) AS importance
+            FROM feats f JOIN ratio r USING (bucket)
+            GROUP BY f.doc_id
         """,
         "value_moments": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

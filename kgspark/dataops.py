@@ -3100,3 +3100,82 @@ def value_moments(events: DataFrame) -> DataFrame:
         ).alias("mean_minus_median"),
         F.round(F.corr("value", "hod"), 6).alias("corr_value_hour"),
     )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = QUALITY_CLF_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) over hashed n-gram features: score every corpus document by
+    how much more likely its (hashed) unigram features are under a
+    TARGET distribution than under the corpus distribution —
+    log p_target(f)/p_corpus(f) averaged over the doc's features —
+    then resample by that importance. The standard recipe for tilting
+    a web crawl toward a quality domain (e.g. 'books+wiki') without a
+    trained classifier.
+
+    Scale shape: both feature distributions are FIXED-SIZE
+    (n_buckets) hashed-count tables with add-`smoothing` smoothing —
+    the target table is computed from the (small) target set, the
+    corpus table from one map-side-combinable pass; the per-bucket
+    log-ratio table broadcasts, so scoring 10^12 docs is one explode
+    + one broadcast join + one per-doc agg, identical to
+    quality_classifier's shape with a LEARNED (well, estimated)
+    weight vector instead of a pseudo-model.
+
+    Returns (doc_id, n_tokens, importance) — importance is the
+    average per-token log-ratio, rounded to 6 dp; feed it to
+    weighted_sample(F.exp(importance)-style weights) to resample.
+    """
+    def feats(df):
+        return (
+            df.select(
+                "doc_id",
+                F.explode(
+                    F.split(norm_text(F.col("text")), " ")
+                ).alias("word"),
+            )
+            .filter(F.col("word") != "")
+            .select(
+                "doc_id",
+                hash_bucket(F.col("word"), n_buckets).alias("bucket"),
+            )
+        )
+    spark = documents.sparkSession
+    buckets = spark.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    def dist(df):
+        # smoothed bucket distribution over ALL n_buckets ids
+        c = df.groupBy("bucket").agg(F.count("*").alias("c"))
+        full = buckets.join(c, "bucket", "left").select(
+            "bucket", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        tot = full.agg(F.sum("c").alias("t"))
+        return full.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            (
+                (F.col("c") + F.lit(smoothing))
+                / (F.col("t") + F.lit(smoothing * n_buckets))
+            ).alias("p"),
+        )
+    ratio = (
+        dist(feats(target))
+        .withColumnRenamed("p", "pt")
+        .join(dist(feats(documents)).withColumnRenamed("p", "pc"), "bucket")
+        .select(
+            "bucket", (F.log("pt") - F.log("pc")).alias("logratio")
+        )
+    )
+    return (
+        feats(documents)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("logratio"), 6).alias("importance"),
+        )
+    )

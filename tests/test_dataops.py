@@ -1625,3 +1625,31 @@ def test_value_moments_against_numpy(spark):
     )
     # value rises with hour here -> strong positive correlation
     assert r["corr_value_hour"] > 0.5
+
+
+def test_dsir_importance_tilts_toward_target_vocabulary(spark):
+    # target docs use the 'quantum physics' vocabulary; corpus docs
+    # that share it must out-score generic-web docs
+    target_texts = ["quantum entanglement photon decoherence qubit"] * 3
+    corpus = [
+        (0, "quantum photon qubit entanglement measurement", "en"),
+        (1, "cheap shoes sale discount free shipping now", "en"),
+        (2, "photon decoherence experiment qubit lattice", "en"),
+        (3, "celebrity gossip fashion trends viral video", "en"),
+    ]
+    tgt = spark.createDataFrame(
+        [(100 + i, t, "en") for i, t in enumerate(target_texts)],
+        DOCS_DDL,
+    )
+    docs = spark.createDataFrame(corpus, DOCS_DDL)
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in dataops.dsir_importance(docs, tgt).collect()
+    }
+    assert min(got[0], got[2]) > max(got[1], got[3])
+    # deterministic
+    again = {
+        r["doc_id"]: r["importance"]
+        for r in dataops.dsir_importance(docs, tgt).collect()
+    }
+    assert got == again
