@@ -865,6 +865,15 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_value_equidepth_hist(spark, sf_dir):
+    """Equi-depth 10-bucket histogram of event values via the
+    distributed NTILE (range exchange + offsets — no single-task
+    global window); per-bucket range/count/mean."""
+    from kgspark.dataops import equidepth_histogram
+
+    return equidepth_histogram(_read(spark, sf_dir, "events"), k=10)
+
+
 def _q_dsir_importance(spark, sf_dir):
     """DSIR (Xie et al. 2023) importance scores over hashed unigram
     features: avg log p_target/p_corpus per doc, target = the
@@ -1833,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "value_moments": _q_value_moments,
         "dsir_importance": _q_dsir_importance,
+        "value_equidepth_hist": _q_value_equidepth_hist,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -3128,6 +3138,19 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE old_hash IS NULL OR new_hash IS NULL
                OR old_hash <> new_hash
+        """,
+        "value_equidepth_hist": """
+            WITH b AS (
+              SELECT value,
+                     ntile(10) OVER (ORDER BY value, event_id)
+                       AS bucket
+              FROM events
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(min(value), 6) AS lo,
+                   round(max(value), 6) AS hi,
+                   round(avg(value), 6) AS mean_value
+            FROM b GROUP BY bucket
         """,
         "dsir_importance": f"""
             -- same md5/15-hex bucket hash; add-1 smoothing over all

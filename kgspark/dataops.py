@@ -3179,3 +3179,24 @@ def dsir_importance(
             F.round(F.avg("logratio"), 6).alias("importance"),
         )
     )
+
+
+def equidepth_histogram(
+    events: DataFrame, col: str = "value", k: int = 10
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram of a column: k buckets with
+    ~n/k rows each, reporting each bucket's [lo, hi] range, count, and
+    mean — the optimizer-statistics / data-profiling histogram that an
+    equal-WIDTH histogram cannot replace on skewed values. Built on
+    distributed_ntile, so the global ordering never collapses into a
+    single window task; the final per-bucket agg is k groups.
+    """
+    bucketed = distributed_ntile(
+        events.select(col, "event_id"), [col, "event_id"], k=k
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.min(col), 6).alias("lo"),
+        F.round(F.max(col), 6).alias("hi"),
+        F.round(F.avg(col), 6).alias("mean_value"),
+    )
