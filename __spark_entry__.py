@@ -865,6 +865,30 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_fuzzy_vocab_linkage(spark, sf_dir):
+    """Record linkage by approximate string join: probe strings (each
+    vocabulary word >= 5 chars with its 2nd char deleted) matched back
+    to the vocabulary at Levenshtein <= 1 via gram blocking + verify.
+    The oracle is the BRUTE-FORCE cross join, so a blocking recall
+    miss fails the hash check."""
+    from kgspark.dataops import fuzzy_string_join, norm_text
+
+    words = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    probes = words.filter(F.length("w") >= 5).select(
+        F.concat(
+            F.substring("w", 1, 1), F.expr("substring(w, 3)")
+        ).alias("p")
+    ).distinct()
+    return fuzzy_string_join(probes, words, "p", "w", max_dist=1)
+
+
 def _q_value_equidepth_hist(spark, sf_dir):
     """Equi-depth 10-bucket histogram of event values via the
     distributed NTILE (range exchange + offsets — no single-task
@@ -1843,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_moments": _q_value_moments,
         "dsir_importance": _q_dsir_importance,
         "value_equidepth_hist": _q_value_equidepth_hist,
+        "fuzzy_vocab_linkage": _q_fuzzy_vocab_linkage,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -3138,6 +3163,25 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE old_hash IS NULL OR new_hash IS NULL
                OR old_hash <> new_hash
+        """,
+        "fuzzy_vocab_linkage": f"""
+            -- BRUTE-FORCE oracle: any pair the gram blocking misses
+            -- shows up as a hash mismatch
+            WITH words AS (
+              SELECT DISTINCT w FROM (
+                SELECT unnest(string_split({norm}, ' ')) AS w
+                FROM documents) t
+              WHERE length(w) >= 4
+            ),
+            probes AS (
+              SELECT DISTINCT substring(w, 1, 1) || substring(w, 3)
+                       AS p
+              FROM words WHERE length(w) >= 5
+            )
+            SELECT DISTINCT p AS l_val, w AS r_val,
+                   CAST(levenshtein(p, w) AS INT) AS dist
+            FROM probes, words
+            WHERE levenshtein(p, w) <= 1
         """,
         "value_equidepth_hist": """
             WITH b AS (

@@ -3200,3 +3200,71 @@ def equidepth_histogram(
         F.round(F.max(col), 6).alias("hi"),
         F.round(F.avg(col), 6).alias("mean_value"),
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate string join between two TABLES: every (left, right)
+    pair whose values are within `max_dist` Levenshtein edits — the
+    record-linkage primitive (entity reconciliation, typo'd lookup
+    tables), generalizing the query-side fuzzy term expansion to an
+    arbitrary table pair.
+
+    Blocking: two strings within d=1 edit share at least one char
+    q-gram when long enough (an edit destroys at most q overlapping
+    grams); grams are emitted at q=3 AND q=2 (q=2 keeps short-string
+    recall, same ladder as the keyword-fuzzy index) and candidates
+    additionally require |len difference| <= max_dist. The verify is
+    one JVM levenshtein per CANDIDATE pair — never all-pairs; bucket
+    fanout is bounded by gram frequency, and the gram tables are the
+    only shuffles.
+
+    Returns (left value, right value, dist) distinct pairs.
+    """
+    def _gram_at(s, q):
+        # closure factory: a bare 2-arg lambda would be parsed as the
+        # (element, index) binary transform form
+        def f(i):
+            return F.concat(F.lit(f"{q}|"), s.substr(i, F.lit(q)))
+
+        return f
+
+    def grams(df, col, out):
+        s = F.lower(F.col(col))
+        parts = []
+        for q in (3, 2):
+            n = F.greatest(F.length(s) - (q - 1), F.lit(1))
+            parts.append(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    _gram_at(s, q),
+                )
+            )
+        return df.select(
+            F.col(col).alias(out),
+            F.explode(
+                F.array_distinct(F.flatten(F.array(*parts)))
+            ).alias("gram"),
+        )
+
+    lg = grams(left, left_col, "l_val")
+    rg = grams(right, right_col, "r_val")
+    cand = (
+        lg.join(rg, "gram")
+        .select("l_val", "r_val")
+        .filter(
+            F.abs(F.length("l_val") - F.length("r_val"))
+            <= F.lit(max_dist)
+        )
+        .distinct()
+    )
+    return cand.select(
+        "l_val",
+        "r_val",
+        F.levenshtein(F.lower("l_val"), F.lower("r_val")).alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -1653,3 +1653,46 @@ def test_dsir_importance_tilts_toward_target_vocabulary(spark):
         for r in dataops.dsir_importance(docs, tgt).collect()
     }
     assert got == again
+
+
+def test_fuzzy_string_join_recall_and_precision(spark):
+    left = spark.createDataFrame(
+        [("contrct",), ("spark",), ("zzzzz",), ("cat",)], "p string"
+    )
+    right = spark.createDataFrame(
+        [("contract",), ("sparks",), ("spork",), ("cart",),
+         ("dog",), ("contracts",)],
+        "w string",
+    )
+    got = {
+        (r["l_val"], r["r_val"]): r["dist"]
+        for r in dataops.fuzzy_string_join(
+            left, right, "p", "w", max_dist=1
+        ).collect()
+    }
+    # brute-force truth at levenshtein <= 1
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1,
+                    prev + (ca != cb),
+                )
+        return dp[-1]
+
+    want = {
+        (p, w): lev(p, w)
+        for p, w in itertools.product(
+            ["contrct", "spark", "zzzzz", "cat"],
+            ["contract", "sparks", "spork", "cart", "dog",
+             "contracts"],
+        )
+        if lev(p, w) <= 1
+    }
+    assert got == want
+    # short strings (cat/cart) rely on the q=2 gram ladder
+    assert ("cat", "cart") in got
