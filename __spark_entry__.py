@@ -560,6 +560,26 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_vectorized(spark, sf_dir):
+    """IVF ANN with the vectorized (Arrow-batch BLAS matmul) cell
+    assignment FORCED — the production path that auto-engages above
+    LITERAL_MATH_MAX_TERMS (dim x nlist > 8192, e.g. dim 3072 x nlist
+    1024), exercised here through the driver contract at small dim so
+    it shares ann_ivf_topk's DuckDB oracle byte-for-byte: both
+    assignment kernels must place every vector in the same cell."""
+    from kgspark.dataops import ivf_ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    q = _query_vec(spark, sf_dir)
+    return ivf_ann(emb, cents, q, k=10, n_probe=3, vectorized=True).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def _q_ann_ivf_indexed(spark, sf_dir):
     """Materialized-IVF probe path: build (or resume) the partitioned
     assignment index via TableIO, then query it — the cell filter is a
@@ -1260,14 +1280,29 @@ def _q_events_json_props(spark, sf_dir):
 def _q_keyword_bm25(spark, sf_dir):
     """BM25 relevance top-10 over the documents inverted index — the
     df/length-normalized analog of the reference's ES best_fields
-    scoring. Fully SQL-expressible: the oracle re-derives the index,
-    doc lengths, df and the Lucene idf in DuckDB."""
-    from kgspark.query import build_inverted_index, keyword_scores_bm25
+    scoring. Exercises the PRODUCTION path: doc-length stats are
+    materialized once at ingest (build_bm25_stats, resumed on repeat)
+    and the query touches only its own term rows — no full-index
+    aggregate per query. Fully SQL-expressible: the oracle re-derives
+    the index, doc lengths, df and the Lucene idf in DuckDB."""
+    from kgspark.io import TableIO
+    from kgspark.query import (
+        build_bm25_stats,
+        build_inverted_index,
+        keyword_scores_bm25,
+        read_bm25_stats,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     index = build_inverted_index(docs, id_col="doc_id", text_col="text")
+    io = TableIO(_tmp_dir("bm25_wh"))
+    snap = build_bm25_stats(
+        io, index, input_key=f"documents:{sf_dir}", id_col="doc_id"
+    )
+    dl, n_docs, avgdl = read_bm25_stats(io, spark, snap)
     return keyword_scores_bm25(
-        index, "spark data query", k=10, id_col="doc_id"
+        index, "spark data query", k=10, id_col="doc_id",
+        dl=dl, n_docs=n_docs, avgdl=avgdl,
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1373,6 +1408,25 @@ def _q_kg_lineage(spark, sf_dir):
         .agg(F.sum("n_rows").alias("n_rows"))
         .orderBy("stage")
     )
+
+
+def _q_kg_curated(spark, sf_dir):
+    """Corpus curation THROUGH the checkpointed Pipeline (rows-only:
+    the composed op itself is the oracle-green `corpus_curation`
+    query; this exercises the Pipeline.curate stage — committed
+    `curated` snapshot, lineage rows, resume on re-run). Returns the
+    per-run lineage rollup plus the curated row count."""
+    from kgspark.fixtures import pages_df
+    from kgspark.pipeline import Pipeline
+
+    pipe = Pipeline(_tmp_dir("curate_wh"), link_mode="exact")
+    pipe.run(spark, pages_df(spark, 100), corpus_id="pages:n=100:seed=42")
+    snap = pipe.curate(spark, k=20, threshold_pct=0.25, run_id="c0")
+    cur = pipe.io.read(spark, "curated", snap)
+    return cur.select(
+        "doc_id", F.round("weight", 6).alias("weight"),
+        F.round("sample_key", 6).alias("sample_key"),
+    ).orderBy("doc_id")
 
 
 def _q_kg_incremental(spark, sf_dir):
@@ -1827,39 +1881,111 @@ def _q_kg_ppr(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator/query (SURVEY.md §2).
+
+    ORDERING CONTRACT / ROTATION POLICY (round-4 directive 1): the
+    driver verifies only the FIRST 50 entries, so dict order decides
+    what CORRECTNESS_r{N}.json can see. The window is packed for
+    maximum evidence, in this priority:
+
+      1. oracle-backed queries the driver has never (or not last
+         round) verified — the 40 entries below that fell outside
+         the r3 window;
+      2. queries added or touched this round (new operators, fixed
+         scale paths) — their behavior changed, so they need a fresh
+         driver-green row;
+      3. a minimal KG rows-only smoke set (pipeline, traversal,
+         curation, lineage) so the UDF stages stay exercised;
+      4. slots to 50 topped up with stable long-green entries.
+
+    Everything after slot 50 is the stable backlog: queries with a
+    driver-green row from a prior round and no code change since,
+    plus the remaining rows-only entries (each carrying a named
+    pytest). tools/check_oracle.py runs the IDENTICAL gate over the
+    full dict locally; BENCH/oracle_full_r4.json records that run.
+    Next round: rotate blocks 1/2 again — whatever the driver did
+    not see this round moves to the front.
+    """
     return {
-        # KG pipeline (UDF stages -> rows-only checks; pytest covers P/R)
-        "kg_top_connected": _q_kg_top_connected,
+        # ---- 1. oracle-backed, unverified in the r3 driver window ----
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "corpus_filter": _q_corpus_filter,
+        "stratified_sample": _q_stratified_sample,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
+        "pii_scrub": _q_pii_scrub,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "unigram_lm_score": _q_unigram_lm_score,
+        "quality_classifier": _q_quality_classifier,
+        "value_percentiles": _q_value_percentiles,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_near_dup": _q_winnow_near_dup,
+        "top_terms": _q_top_terms,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_filtered_topk": _q_ann_filtered_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
+        "hybrid_fusion_topk": _q_hybrid_fusion,
+        "keyword_bm25_topk": _q_keyword_bm25,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dataset_split": _q_dataset_split,
+        "part_triangles": _q_part_triangles,
+        "part_link_prediction": _q_part_link_prediction,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "ntile_spend_buckets": _q_ntile_spend_buckets,
+        "table_profile": _q_table_profile,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "bloom_filter_join": _q_bloom_filter_join,
+        "key_skew_stats": _q_key_skew_stats,
+        "zorder_cells": _q_zorder_cells,
+        # ---- 2. added/touched this round ----
+        "ann_ivf_vectorized_topk": _q_ann_ivf_vectorized,
+        "khop_join": _q_khop_join,
+        # ---- 3. KG rows-only smoke set (touched paths + new stage) ----
+        "kg_khop_related": _q_kg_khop,
+        "kg_curated": _q_kg_curated,
         "kg_triples": _q_kg_triples,
         "kg_chunk_stats": _q_kg_chunk_stats,
+        "kg_lineage": _q_kg_lineage,
+        # ---- 4. stable-green fillers to slot 50 ----
+        "dedup_lastwins": _q_dedup_lastwins,
+        "endpoint_semi_join": _q_endpoint_semi_join,
+        "regional_revenue": _q_regional_revenue,
+        # ================= end of 50-slot driver window =================
+        # stable backlog: driver-green in r1-r3, unchanged since
+        "kg_top_connected": _q_kg_top_connected,
         "kg_canonical": _q_kg_canonical,
-        "kg_khop_related": _q_kg_khop,
         "kg_graphrag_search": _q_kg_graphrag,
         "kg_graphrag_entities": _q_kg_graphrag_entities,
         "kg_graph_stats": _q_kg_graph_stats,
-        "kg_canonical_lsh": _q_kg_canonical_lsh,  # rows-only (xxhash64 LSH)
-        # relational operators (SQL-checked)
-        "dedup_lastwins": _q_dedup_lastwins,
-        "endpoint_semi_join": _q_endpoint_semi_join,
-        "khop_join": _q_khop_join,
+        "kg_canonical_lsh": _q_kg_canonical_lsh,
         "top_customers": _q_top_customers,
         "events_stats": _q_events_stats,
         "top_events_per_user": _q_top_events_per_user,
         "orders_rollup": _q_orders_rollup,
         "active_inactive_customers": _q_active_inactive_customers,
-        "approx_distinct_users": _q_approx_distinct,  # rows-only (HLL)
+        "approx_distinct_users": _q_approx_distinct,
         "sessionize": _q_sessionize,
-        "bpe_merges": _q_bpe_merges,  # iterative; pytest vs sequential BPE
+        "bpe_merges": _q_bpe_merges,
         "data_quality_report": _q_data_quality_report,
-        "corpus_curation": _q_corpus_curation,  # composed pipeline
+        "corpus_curation": _q_corpus_curation,
         "snapshot_cdc_diff": _q_snapshot_cdc_diff,
         "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
         "weighted_sample": _q_weighted_sample,
-        "hll_merged_distinct": _q_hll_merged_distinct,  # sketch algebra
+        "hll_merged_distinct": _q_hll_merged_distinct,
         "table_checksum": _q_table_checksum,
         "bigram_lm_score": _q_bigram_lm_score,
         "char_entropy": _q_char_entropy,
-        "regional_revenue": _q_regional_revenue,  # TPC-H Q5 star join
         "customer_order_distribution": _q_customer_order_distribution,
         "scd2_history": _q_scd2_history,
         "user_value_ewma": _q_user_value_ewma,
@@ -1879,65 +2005,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_fingerprints": _q_nfc_fingerprints,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
-        # training-data ops (SQL-checked unless noted)
         "exact_dedup": _q_exact_dedup,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality_scores,
-        "lang_id": _q_lang_id,
-        "corpus_filter": _q_corpus_filter,
-        "stratified_sample": _q_stratified_sample,
-        "repetition_stats": _q_repetition_stats,
-        "ngram_contamination": _q_ngram_contamination,
-        "pii_scrub": _q_pii_scrub,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "unigram_lm_score": _q_unigram_lm_score,
-        "quality_classifier": _q_quality_classifier,
-        "value_percentiles": _q_value_percentiles,
-        "winnow_fingerprint": _q_winnow_fingerprint,
-        "winnow_near_dup": _q_winnow_near_dup,
-        "top_terms": _q_top_terms,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_filtered_topk": _q_ann_filtered_topk,  # pre-filter strategy
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,  # same oracle as ivf
-        "hybrid_fusion_topk": _q_hybrid_fusion,
-        "keyword_bm25_topk": _q_keyword_bm25,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_near_dup": _q_minhash_near_dup,  # md5 portable hash mode
-        "near_dup_clusters": _q_near_dup_clusters,  # md5 + recursive CC oracle
-        "simhash_near_dup": _q_simhash_near_dup,  # bit-exact SQL oracle
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # inlined planes
-        # multimodal plumbing (rows-only; pytest-verified fake codec)
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_media_frames,
-        # streaming ingest (rows-only; pytest-verified vs batch path)
         "streaming_triples": _q_streaming_triples,
-        "streaming_source_stats": _q_streaming_source_stats,  # stateful
-        "streaming_lang_windows": _q_streaming_lang_windows,  # watermark
-        "streaming_sessions": _q_streaming_sessions,  # session_window
-        "streaming_join": _q_streaming_join,  # stream-stream join
-        # checkpointed pipeline + lineage (rows-only; resume pytest)
-        "kg_lineage": _q_kg_lineage,
-        "kg_incremental": _q_kg_incremental,  # rows-only; append==batch pytest
-        "incremental_dedup": _q_incremental_dedup,  # rows-only; parity flag
-        "kg_pagerank": _q_kg_pagerank,  # rows-only; 1e-12 pytest vs reference
-        "kg_communities": _q_kg_communities,  # rows-only; LPA pytest
-        "kg_personalized_pagerank": _q_kg_ppr,  # rows-only; 1e-12 pytest
-        # round-3 additions (all SQL-checked)
-        "kmeans_clusters": _q_kmeans_clusters,  # unrolled-Lloyd oracle
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "dataset_split": _q_dataset_split,
-        "part_triangles": _q_part_triangles,  # degree-oriented wedge join
-        "part_link_prediction": _q_part_link_prediction,  # Adamic-Adar
-        "small_qty_revenue": _q_small_qty_revenue,
-        "ntile_spend_buckets": _q_ntile_spend_buckets,  # distributed ntile
-        "table_profile": _q_table_profile,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "bloom_filter_join": _q_bloom_filter_join,
-        "key_skew_stats": _q_key_skew_stats,
-        "zorder_cells": _q_zorder_cells,
+        "streaming_source_stats": _q_streaming_source_stats,
+        "streaming_lang_windows": _q_streaming_lang_windows,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_join": _q_streaming_join,
+        "kg_incremental": _q_kg_incremental,
+        "incremental_dedup": _q_incremental_dedup,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_communities": _q_kg_communities,
+        "kg_personalized_pagerank": _q_kg_ppr,
     }
 
 
@@ -3496,6 +3576,9 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe path must return exactly what the
     # inline IVF computation returns — same oracle
     oracles["ann_ivf_indexed_topk"] = oracles["ann_ivf_topk"]
+    # forced-vectorized assignment must place every vector in the same
+    # cell as the literal-codegen path -> identical oracle
+    oracles["ann_ivf_vectorized_topk"] = oracles["ann_ivf_topk"]
     oracles["simhash_near_dup"] = _simhash_sql(max_hamming=3)
     oracles["kmeans_clusters"] = _kmeans_cluster_sql(k=4, dim=64)
     oracles["tfidf_top_terms"] = """

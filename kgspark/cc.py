@@ -513,8 +513,14 @@ def adamic_adar(
     fanout (on power-law graphs one celebrity node otherwise emits
     deg^2 wedges; its per-wedge contribution 1/ln(deg) is the
     smallest anyway, so the cap trims the noisiest, cheapest signal —
-    the standard mitigation). The degree table is O(nodes) and
-    broadcasts; candidate scoring is one map-side-combinable agg;
+    the standard mitigation). The degree table is O(nodes), so it is
+    deliberately NOT hinted for broadcast — at 10^9 nodes a forced
+    broadcast ships multi-GB to the driver and every executor
+    regardless of max_deg (the cap drops the *few* hub rows, not the
+    bulk); it joins on the shared-neighbor key as a plain equi-join
+    and AQE picks a broadcast at runtime only when the post-filter
+    stats actually fit (tests/test_cc.py pins the no-hint plan).
+    Candidate scoring is one map-side-combinable agg;
     existing edges leave via a left_anti join; top-k is
     TakeOrderedAndProject on the ROUNDED score (6 dp) with (a, b)
     tie-break so the cut is engine-deterministic.
@@ -538,12 +544,11 @@ def adamic_adar(
     )
     if max_deg is not None:
         deg = deg.filter(F.col("deg") <= max_deg)
-    # attach the (broadcast) degree of the shared neighbor, dropping
-    # capped hubs BEFORE the wedge self-join so their fanout never
-    # materializes
-    nd = nbr.join(F.broadcast(deg), nbr["n"] == deg["hub"]).select(
-        "v", "n", "deg"
-    )
+    # attach the degree of the shared neighbor, dropping capped hubs
+    # BEFORE the wedge self-join so their fanout never materializes.
+    # No broadcast hint: deg is O(nodes); AQE chooses broadcast only
+    # when its runtime size fits spark.sql.autoBroadcastJoinThreshold.
+    nd = nbr.join(deg, nbr["n"] == deg["hub"]).select("v", "n", "deg")
     x, y = nd.alias("x"), nd.alias("y")
     wedges = x.join(
         y,

@@ -417,6 +417,56 @@ class Pipeline:
         self.last_skipped = skipped
         return snaps
 
+    def curate(
+        self,
+        spark: SparkSession,
+        k: int = 50,
+        threshold_pct: float = 0.25,
+        run_id: str = "c0",
+    ) -> str:
+        """Optional curation stage over the ingested corpus — the
+        training-data product of the engine: exact dedup -> quality
+        classifier -> self-calibrated percentile cutoff -> quality-
+        weighted deterministic sample (dataops.curate_corpus, each
+        step individually oracle-checked; the composition is the
+        oracle-green `corpus_curation` driver query). Runs over the
+        ACCUMULATED docs table (url as the document key), commits a
+        `curated` TableIO snapshot keyed on the docs snapshot set +
+        parameters — a re-run resumes, a new append delta or changed
+        parameters recompute — and appends per-partition lineage rows
+        like every other stage. Returns the snapshot id.
+        """
+        from .dataops import curate_corpus  # noqa: PLC0415
+
+        doc_ids = ",".join(
+            s["id"] for s in self.io.accumulated_snapshots("docs")
+        )
+        input_key = f"docs:{doc_ids}:k={k}:pct={threshold_pct}"
+        existing = self.io.find_snapshot("curated", input_key)
+        if existing is not None:
+            self.last_skipped = ["curated"]
+            return existing
+        t0 = time.monotonic()
+        docs = self.io.read_accumulated(spark, "docs").select(
+            F.col("url").alias("doc_id"), "text"
+        )
+        cur = curate_corpus(docs, k=k, threshold_pct=threshold_pct)
+        snap = self.io.commit(
+            "curated", cur, input_key,
+            metadata={"k": k, "threshold_pct": threshold_pct},
+        )
+        dur_ms = int((time.monotonic() - t0) * 1000)
+        self.io.commit(
+            "_lineage",
+            _lineage_rows(
+                self.io.read(spark, "curated", snap),
+                "curated", run_id, input_key, dur_ms,
+            ),
+            run_id,
+        )
+        self.last_skipped = []
+        return snap
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         """The cumulative per-partition lineage log across every run:
         union of all `_lineage` snapshots (each run appends a delta)."""

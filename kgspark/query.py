@@ -152,6 +152,9 @@ def keyword_scores_bm25(
     id_col: str = "chunk_id",
     k1: float = 1.2,
     b: float = 0.75,
+    dl: DataFrame | None = None,
+    n_docs: float | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 relevance over the materialized inverted index — the
     engine's analog of the reference's ES `multi_match best_fields`
@@ -164,19 +167,27 @@ def keyword_scores_bm25(
         score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
     Everything derives from the (term, chunk_id, tf) index itself:
-    dl = sum(tf) per chunk, N/avgdl one single-row aggregate. The only
-    full-index pass is the dl aggregation — at scale, materialize dl
-    alongside the index at ingest (same TableIO pattern as O18) and
-    pass it here; the per-query work is then index rows for the query's
-    terms only (term-pushdown scan) + one broadcast of the tiny stats."""
+    dl = sum(tf) per chunk, N/avgdl one single-row aggregate. Pass the
+    ingest-time artifacts from build_bm25_stats (`dl` table + the
+    `n_docs`/`avgdl` scalars from its snapshot metadata) and the
+    per-query plan touches ONLY the query's term rows (term-pushdown
+    index scan, pinned by tests/test_query.py) plus the dl lookup —
+    no full-index aggregate per query. Without them (ad-hoc use on an
+    uncommitted index) both are derived inline, a full index pass."""
     terms = query_terms(query)
     if not terms:
         return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
-    dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    if dl is None:
+        dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    if n_docs is not None and avgdl is not None:
+        stats = index.sparkSession.createDataFrame(
+            [(float(n_docs), float(avgdl))], "n_docs double, avgdl double"
+        )
+    else:
+        stats = dl.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     matched = index.filter(F.col("term").isin(terms))
     dfs = matched.groupBy("term").agg(
         F.count("*").cast("double").alias("df")
@@ -198,6 +209,53 @@ def keyword_scores_bm25(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def build_bm25_stats(
+    io,
+    index: DataFrame,
+    table: str = "bm25_stats",
+    input_key: str | None = None,
+    id_col: str = "chunk_id",
+) -> str:
+    """Materialize the BM25 per-document length table ONCE at ingest —
+    the reference's ES index keeps these statistics inside the index
+    itself (elasticsearch_store.py:72-89: the mapping IS the stats
+    store); without this, every BM25 query re-aggregates dl = sum(tf)
+    over the WHOLE inverted index (a full pass per query at a 10^12-
+    chunk index). Same TableIO build-artifact pattern as the inverted
+    index (O18), the IVF index and build_vocab_grams: keyed on the
+    index snapshot via `input_key`, resumed instead of rebuilt when
+    already committed. Rows: (id_col, dl); the corpus scalars
+    (n_docs, avgdl) ride in the snapshot metadata so query time pays
+    zero aggregation for them."""
+    if input_key is not None:
+        existing = io.find_snapshot(table, input_key)
+        if existing is not None:
+            return existing
+    dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    row = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).first()
+    return io.commit(
+        table, dl, input_snapshot=input_key,
+        metadata={
+            "n_docs": float(row["n_docs"]),
+            "avgdl": float(row["avgdl"] or 0.0),
+            "id_col": id_col,
+        },
+    )
+
+
+def read_bm25_stats(
+    io, spark, snapshot: str, table: str = "bm25_stats"
+) -> tuple[DataFrame, float, float]:
+    """Load a build_bm25_stats artifact: (dl DataFrame, n_docs, avgdl)
+    ready to pass to keyword_scores_bm25 / graphrag_search."""
+    meta = io.snapshot_metadata(table, snapshot)
+    dl = io.read(spark, table, snapshot)
+    return dl, float(meta["n_docs"]), float(meta["avgdl"])
 
 
 def _py_char_grams(term: str, q: int) -> list[str]:
@@ -491,12 +549,45 @@ def entities_from_chunks(
     return out.orderBy("name").limit(limit)
 
 
+#: rows above which a hop frontier is no longer hinted for broadcast —
+#: on a dense KG the hop-2 frontier is unbounded (the reference LIMITs
+#: only final results, neo4j_store.py:385), so a forced broadcast of a
+#: multi-million-row frontier would ship it whole to every executor.
+#: Below the cap the hint saves the per-hop shuffle of the (huge,
+#: checkpointed) edge table; above it the join falls back to a plain
+#: equi-join and AQE decides at runtime. The count is free: the
+#: frontier is already eagerly checkpointed per round.
+FRONTIER_BROADCAST_MAX_ROWS = 100_000
+
+
+def _frontier_step(
+    undirected: DataFrame,
+    frontier: DataFrame,
+    frontier_rows: int,
+    broadcast_max: int = FRONTIER_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """One BFS hop: join the edge table against the frontier on the
+    source endpoint, carrying the extended predicate path. The frontier
+    side is broadcast-hinted only while its known row count fits under
+    `broadcast_max` (tests/test_query.py pins both plan shapes)."""
+    fr = (
+        F.broadcast(frontier)
+        if frontier_rows <= broadcast_max
+        else frontier
+    )
+    return undirected.join(fr, "a").select(
+        F.col("b").alias("a"),
+        F.concat(F.col("path"), F.array(F.col("pred"))).alias("path"),
+    )
+
+
 def related_entities(
     kg_edges: DataFrame,
     entity_name: str,
     max_depth: int = MAX_DEPTH,
     limit: int = 50,
     kg_nodes: DataFrame | None = None,
+    frontier_broadcast_max: int = FRONTIER_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Reference get_related_entities (neo4j_store.py:372-407): entities
     within max_depth undirected hops over ANY relationship type, LIMIT
@@ -532,17 +623,20 @@ def related_entities(
     )
     seen = frontier.select("a")
     reached: DataFrame | None = None
+    frontier_rows = 1  # the seed entity
     for _ in range(max_depth):
-        stepped = undirected.join(F.broadcast(frontier), "a").select(
-            F.col("b").alias("a"),
-            F.concat(F.col("path"), F.array(F.col("pred"))).alias("path"),
+        stepped = _frontier_step(
+            undirected, frontier, frontier_rows, frontier_broadcast_max
         )
         nxt = (
             stepped.groupBy("a")
             .agg(F.min("path").alias("path"))  # lexicographic tie-break
             .join(seen, "a", "left_anti")
         ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # count() on the checkpointed frame is metadata-cheap and
+        # feeds the next hop's broadcast guard (replaces isEmpty())
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
             break
         seen = seen.union(nxt.select("a"))
         reached = nxt if reached is None else reached.unionByName(nxt)
@@ -584,6 +678,7 @@ def graphrag_search(
     hybrid: bool = True,
     vector_weight: float = VECTOR_WEIGHT,
     keyword_weight: float = KEYWORD_WEIGHT,
+    bm25_stats: tuple[DataFrame, float, float] | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end GraphRAG retrieval analog, no LLM (reference
     graphrag.search, src/builders/graphrag.py:58-98):
@@ -610,8 +705,14 @@ def graphrag_search(
         kw_hits = vec_hits.limit(0)
     elif inverted_index is not None and keyword_model == "bm25":
         # opt-in (default "tf" preserves reference score parity):
-        # df/length-normalized relevance like ES best_fields
-        kw_hits = keyword_scores_bm25(inverted_index, query_text, k=top_k * 2)
+        # df/length-normalized relevance like ES best_fields.
+        # bm25_stats = (dl table, n_docs, avgdl) from read_bm25_stats —
+        # when given, the query touches only its own term rows
+        dl_df, nd, ad = bm25_stats if bm25_stats else (None, None, None)
+        kw_hits = keyword_scores_bm25(
+            inverted_index, query_text, k=top_k * 2,
+            dl=dl_df, n_docs=nd, avgdl=ad,
+        )
     elif inverted_index is not None and fuzziness > 0:
         kw_hits = keyword_scores_fuzzy(
             inverted_index, query_text, k=top_k * 2, max_edit=fuzziness
@@ -649,6 +750,7 @@ def graphrag_search_cached(
     hybrid: bool = True,
     vector_weight: float = VECTOR_WEIGHT,
     keyword_weight: float = KEYWORD_WEIGHT,
+    bm25_stats: tuple[DataFrame, float, float] | None = None,
 ) -> dict:
     """Query-result cache over graphrag_search — the reference caches
     search results for 1 h keyed on sha256(query+params)
@@ -707,7 +809,7 @@ def graphrag_search_cached(
         inverted_index=inverted_index, fuzziness=fuzziness,
         keyword_model=keyword_model, kg_nodes=kg_nodes,
         hybrid=hybrid, vector_weight=vector_weight,
-        keyword_weight=keyword_weight,
+        keyword_weight=keyword_weight, bm25_stats=bm25_stats,
     )
     hs = io.commit(
         "_qcache_hits", out["hits"], input_snapshot=key, metadata={"ts": now}

@@ -381,3 +381,119 @@ def test_graphrag_search_no_hybrid_and_weights(spark):
         assert r["combined_score"] == pytest.approx(
             0.5 * r["vector_score"] + 0.5 * r["keyword_score"], abs=1e-9
         )
+
+
+def test_frontier_broadcast_guarded_by_size(spark):
+    """Round-4 scale fix (VERDICT r3 item 3): the k-hop frontier is
+    broadcast-hinted ONLY while its known row count fits under the
+    cap — on a dense KG the hop-2 frontier is unbounded (the reference
+    LIMITs only final results, neo4j_store.py:385), so an unconditional
+    hint ships a multi-million-row frontier to every executor. Both
+    plan shapes pinned via the analyzed logical plan (user hints appear
+    there as ResolvedHint; AQE runtime choices never do)."""
+    und = spark.createDataFrame(
+        [("a", "b", "r1"), ("b", "c", "r2")],
+        "a string, b string, pred string",
+    )
+    frontier = spark.createDataFrame(
+        [("a", ["r0"])], "a string, path array<string>"
+    )
+    hinted = query._frontier_step(und, frontier, 1, broadcast_max=10)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    plain = query._frontier_step(und, frontier, 11, broadcast_max=10)
+    assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
+
+
+def test_related_entities_same_rows_with_and_without_broadcast(spark):
+    """The guard changes join strategy, never results: forcing the
+    no-broadcast path (cap 0) returns exactly the default rows."""
+    edges = spark.createDataFrame(
+        [
+            ("apple", "acquires", "startup"),
+            ("startup", "based_in", "berlin"),
+            ("berlin", "capital_of", "germany"),
+            ("apple", "sells", "phones"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    base = sorted(
+        map(tuple, query.related_entities(edges, "apple", max_depth=2).collect())
+    )
+    guarded = sorted(
+        map(
+            tuple,
+            query.related_entities(
+                edges, "apple", max_depth=2, frontier_broadcast_max=0
+            ).collect(),
+        )
+    )
+    assert base == guarded and len(base) > 0
+
+
+def test_bm25_stats_materialized_resume_parity_pushdown(spark, tmp_path, monkeypatch):
+    """Round-4 directive 4: BM25 doc-length stats are an INGEST-time
+    artifact (the reference's ES keeps them inside the index mapping,
+    elasticsearch_store.py:72-89). (a) a rebuild for the same input key
+    resumes with zero recompute; (b) scores through the materialized
+    stats == the inline derivation; (c) with stats supplied, the
+    per-query plan never aggregates the full index: every scan of the
+    committed index carries a pushed term filter."""
+    from kgspark.io import TableIO
+
+    rows = [(f"c{i}", "common words fill this chunk") for i in range(6)]
+    rows.append(("rare1", "rare common words"))
+    chunks = spark.createDataFrame(rows, "chunk_id string, text string")
+    index = query.build_inverted_index(chunks)
+    io = TableIO(str(tmp_path / "wh"))
+    snap = query.build_bm25_stats(io, index, input_key="idx:v1")
+
+    commits = []
+    orig_commit = TableIO.commit
+    monkeypatch.setattr(
+        TableIO, "commit",
+        lambda self, *a, **k: commits.append(1) or orig_commit(self, *a, **k),
+    )
+    assert query.build_bm25_stats(io, index, input_key="idx:v1") == snap
+    assert commits == []  # resumed, not rebuilt
+    monkeypatch.undo()
+
+    dl, n_docs, avgdl = query.read_bm25_stats(io, spark, snap)
+    inline = [
+        (r["chunk_id"], round(r["score"], 9))
+        for r in query.keyword_scores_bm25(index, "rare common", k=5).collect()
+    ]
+    mat = [
+        (r["chunk_id"], round(r["score"], 9))
+        for r in query.keyword_scores_bm25(
+            index, "rare common", k=5, dl=dl, n_docs=n_docs, avgdl=avgdl
+        ).collect()
+    ]
+    assert inline == mat and mat[0][0] == "rare1"
+
+    # (c) plan shape on a parquet-committed index (the production case)
+    idx_snap = io.commit("inverted_index", index, "idx:v1")
+    idx_pq = io.read(spark, "inverted_index", idx_snap)
+    out = query.keyword_scores_bm25(
+        idx_pq, "rare common", k=5, dl=dl, n_docs=n_docs, avgdl=avgdl
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Location paths are truncated in plan strings — identify each scan
+    # by its projected columns instead: index scans read term(+tf),
+    # the materialized stats scan reads (chunk_id, dl)
+    idx_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "term#" in ln
+    ]
+    assert idx_scans, "expected the index to be scanned from parquet"
+    for ln in idx_scans:
+        assert "IN (common,rare)" in ln, (
+            f"index scan without term pushdown: {ln}"
+        )
+    dl_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "dl#" in ln
+    ]
+    assert dl_scans, "doc lengths must come from the materialized table"
+    for ln in dl_scans:
+        assert "term#" not in ln  # never re-derived from the index

@@ -146,3 +146,87 @@ def test_append_equals_batch_union(spark, tmp_path):
         "pages", "docs", "chunks", "embeddings", "inverted_index",
         "extracted", "canonical", "kg_nodes", "kg_edges",
     }
+
+
+def test_pipeline_curate_commits_resumes_and_logs_lineage(spark, tmp_path):
+    """Round-4 directive 6: curation is a first-class optional Pipeline
+    stage — committed `curated` snapshot, per-partition lineage rows,
+    resume on identical input+params, recompute on changed params, and
+    result identity with the oracle-green composed op run directly."""
+    from pyspark.sql import functions as F
+
+    from kgspark.dataops import curate_corpus
+
+    wh = str(tmp_path / "wh")
+    pipe = Pipeline(wh)
+    pipe.run(spark, pages_df(spark, 60), "pages:n=60:seed=42")
+
+    snap = pipe.curate(spark, k=10, threshold_pct=0.25)
+    cur = pipe.io.read(spark, "curated", snap)
+    got = sorted(r["doc_id"] for r in cur.collect())
+    assert len(got) == 10
+    assert set(cur.columns) == {"doc_id", "weight", "sample_key"}
+
+    # identical input + params -> resumed, same snapshot, no recompute
+    assert pipe.curate(spark, k=10, threshold_pct=0.25) == snap
+    assert pipe.last_skipped == ["curated"]
+
+    # changed params -> a fresh snapshot
+    snap_k5 = pipe.curate(spark, k=5, threshold_pct=0.25)
+    assert snap_k5 != snap
+    assert pipe.io.read(spark, "curated", snap_k5).count() == 5
+
+    # lineage rows landed with the stage name
+    lin = pipe.lineage(spark).filter("stage = 'curated'")
+    assert lin.count() >= 1
+
+    # parity with the composed op run directly over the ingested docs
+    docs = pipe.io.read_accumulated(spark, "docs").select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    direct = sorted(
+        r["doc_id"] for r in curate_corpus(docs, k=10).collect()
+    )
+    assert got == direct
+
+
+def test_kgctl_upload_curate_search_verbs(spark, tmp_path):
+    """CLI surface smoke: upload builds the ingest-time index artifacts
+    (bm25_stats + vocab_grams, resumed on re-upload), curate commits
+    and resumes, and a bm25 search answers through the materialized
+    stats path."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "tools")
+    import kgctl
+
+    wh = str(tmp_path / "wh")
+    up = argparse.Namespace(
+        pages_parquet=None, synthetic_pages=40, warehouse=wh,
+        chunk_size=500, chunk_overlap=100, link_mode="exact",
+        clear_existing=False, append=False, corpus_id=None, run_id="r0",
+    )
+    out = kgctl.cmd_upload(up)
+    assert out["status"] == "ok" and out["chunks_created"] > 0
+    assert "bm25_stats" in out["snapshots"]
+    assert "vocab_grams" in out["snapshots"]
+
+    # re-upload: every stage AND both artifacts resume
+    out2 = kgctl.cmd_upload(up)
+    assert out2["snapshots"] == out["snapshots"]
+
+    cu = argparse.Namespace(warehouse=wh, keep_fraction=0.75, k=8,
+                            run_id="c0")
+    cur = kgctl.cmd_curate(cu)
+    assert cur["status"] == "ok" and cur["docs_kept"] == 8
+    assert not cur["resumed"]
+    assert kgctl.cmd_curate(cu)["resumed"]
+
+    se = argparse.Namespace(
+        query="alice works at acme", warehouse=wh, top_k=3, max_depth=1,
+        no_hybrid=False, vector_weight=0.7, keyword_weight=0.3,
+        fuzziness=0, keyword_model="bm25", no_cache=True,
+    )
+    res = kgctl.cmd_search(se)
+    assert res["status"] == "ok" and res["chunks_used"] > 0

@@ -19,6 +19,12 @@ Commands = UPLOAD | SEARCH | DELETE) can switch command-for-command:
     # reference: delete
     python tools/kgctl.py delete --warehouse wh
 
+    # engine extension (no reference counterpart): curate the uploaded
+    # corpus (dedup -> quality classify -> percentile cutoff ->
+    # weighted sample) into a committed, resumable `curated` snapshot
+    python tools/kgctl.py curate --warehouse wh \
+        [--keep-fraction 0.75] [--k 50]
+
 Differences from the reference, by design (SURVEY.md §2):
   * upload ingests the pages table (url, warc_ts, html, text, lang)
     instead of a single PDF path — the batching flags
@@ -108,6 +114,11 @@ def cmd_upload(args) -> dict:
     else:
         snaps = pipe.run(spark, pages, corpus_id, run_id=args.run_id)
         rd = lambda t: pipe.io.read(spark, t)  # noqa: E731
+    # ingest-time query artifacts, keyed on the accumulated index
+    # snapshot set (resumed on re-upload, rebuilt on a new delta):
+    # BM25 doc-length stats + fuzzy-expansion vocab grams — so no
+    # query ever pays a full-index aggregate or vocabulary shuffle
+    snaps.update(_build_index_artifacts(spark, pipe.io))
     # the reference's completion report: chunks / entities /
     # relationships created (cli/main.py:119-123)
     return {
@@ -117,6 +128,48 @@ def cmd_upload(args) -> dict:
         "relationships_extracted": pipe.io.read(spark, "kg_edges").count(),
         "snapshots": snaps,
         "resumed_stages": pipe.last_skipped,
+        "warehouse": args.warehouse,
+    }
+
+
+def _index_artifact_key(io) -> str:
+    """Deterministic identity of the accumulated inverted index — the
+    resume key for its derived artifacts (bm25_stats, vocab_grams)."""
+    ids = ",".join(
+        s["id"] for s in io.accumulated_snapshots("inverted_index")
+    )
+    return f"inverted_index:{ids}"
+
+
+def _build_index_artifacts(spark, io) -> dict:
+    from kgspark.io import TableIO  # noqa: F401
+    from kgspark.query import build_bm25_stats, build_vocab_grams
+
+    key = _index_artifact_key(io)
+    index = io.read_accumulated(spark, "inverted_index")
+    return {
+        "bm25_stats": build_bm25_stats(io, index, input_key=key),
+        "vocab_grams": build_vocab_grams(io, index, input_key=key),
+    }
+
+
+def cmd_curate(args) -> dict:
+    """Optional corpus-curation stage (dedup -> quality classify ->
+    percentile cutoff -> weighted sample) over an uploaded warehouse;
+    commits a resumable `curated` snapshot with lineage rows."""
+    from kgspark.pipeline import Pipeline
+
+    spark = _spark("kgctl-curate")
+    pipe = Pipeline(args.warehouse)
+    snap = pipe.curate(
+        spark, k=args.k, threshold_pct=1.0 - args.keep_fraction,
+        run_id=args.run_id,
+    )
+    return {
+        "status": "ok",
+        "snapshot": snap,
+        "resumed": pipe.last_skipped == ["curated"],
+        "docs_kept": pipe.io.read(spark, "curated", snap).count(),
         "warehouse": args.warehouse,
     }
 
@@ -140,6 +193,15 @@ def cmd_search(args) -> dict:
     mentions = mentions_of(rd("extracted"))
     inverted_index = rd("inverted_index")
     kg_nodes = rd("kg_nodes")
+    bm25_stats = None
+    if args.keyword_model == "bm25":
+        # build-or-resume the ingest-time stats and query against them
+        # (the per-query plan then touches only the query's term rows)
+        from kgspark.query import build_bm25_stats, read_bm25_stats
+
+        key = _index_artifact_key(io)
+        snap = build_bm25_stats(io, inverted_index, input_key=key)
+        bm25_stats = read_bm25_stats(io, spark, snap)
     kwargs = dict(
         top_k=args.top_k,
         max_depth=args.max_depth,
@@ -150,6 +212,7 @@ def cmd_search(args) -> dict:
         hybrid=not args.no_hybrid,
         vector_weight=args.vector_weight,
         keyword_weight=args.keyword_weight,
+        bm25_stats=bm25_stats,
     )
     if args.no_cache:
         out = graphrag_search(chunks, embeddings, mentions, args.query, **kwargs)
@@ -226,6 +289,20 @@ def main() -> None:
     se.add_argument("--keyword-model", default="tf", choices=["tf", "bm25"])
     se.add_argument("--no-cache", action="store_true")
     se.set_defaults(fn=cmd_search)
+
+    cu = sub.add_parser(
+        "curate",
+        help="dedup + quality-score + cutoff + sample the uploaded "
+             "corpus into a committed `curated` snapshot",
+    )
+    cu.add_argument("--warehouse", required=True)
+    cu.add_argument("--keep-fraction", type=float, default=0.75,
+                    help="fraction of the (deduped) corpus above the "
+                         "self-calibrated quality cutoff")
+    cu.add_argument("--k", type=int, default=50,
+                    help="final sample size drawn by quality weight")
+    cu.add_argument("--run-id", default="c0")
+    cu.set_defaults(fn=cmd_curate)
 
     de = sub.add_parser("delete", help="clear the warehouse")
     de.add_argument("--warehouse", required=True)
