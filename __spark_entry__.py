@@ -1565,8 +1565,9 @@ def _q_part_link_prediction(spark, sf_dir):
     """Adamic-Adar link prediction over the parts-co-ordered graph:
     top-20 NON-adjacent part pairs by sum 1/ln(deg) over common
     neighbors. Wedge self-join on the shared neighbor with a deg<=128
-    hub cap applied before the join; degree table broadcasts;
-    deterministic cut on (rounded score, a, b)."""
+    hub cap applied before the join; the O(nodes) degree table joins
+    un-hinted (AQE decides — r4 fix); deterministic cut on (rounded
+    score, a, b)."""
     from kgspark.cc import adamic_adar, co_order_pairs
 
     pairs = co_order_pairs(_read(spark, sf_dir, "lineitem"))
@@ -1880,6 +1881,49 @@ def _q_kg_ppr(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-blocked semantic near-dup: assign every
+    embedding to an IVF cell (same first-8-by-vec_id centroid set as
+    the ann_ivf oracle), exact pair cosine ONLY within a cell — the
+    quadratic term is sum(n_cell^2), never n^2. The oracle re-derives
+    the argmax-cosine assignment and the within-cell pair cosines in
+    DuckDB; blocking recall vs the exact near-dup is the documented
+    SemDeDup trade (cluster purity), not a bug the hash can hide."""
+    from kgspark.dataops import semantic_dedup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    return semantic_dedup_pairs(emb, cents, threshold=0.4).select(
+        "vec_a", "vec_b",
+        F.col("cell").cast("long").alias("cell"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q_source_mix(spark, sf_dir):
+    """Per-source training-mix composition report: docs, distinct
+    normalized fingerprints, implied exact-dup rate, mean length,
+    total whitespace tokens (token semantics shared with token_stats
+    so the reports reconcile)."""
+    from kgspark.dataops import source_mix_report
+
+    return source_mix_report(_read(spark, sf_dir, "documents"))
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of the parts-co-ordered graph
+    (the power-law diagnostic behind the engine's hub caps / salting
+    thresholds), over the same co_order_pairs edges as part_triangles
+    so the graph-mining family shares one blocking derivation."""
+    from kgspark.cc import co_order_pairs, degree_histogram
+
+    pairs = co_order_pairs(_read(spark, sf_dir, "lineitem"))
+    return degree_histogram(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md §2).
 
@@ -1957,12 +2001,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_kg_triples,
         "kg_chunk_stats": _q_kg_chunk_stats,
         "kg_lineage": _q_kg_lineage,
-        # ---- 4. stable-green fillers to slot 50 ----
+        # ---- 4. new round-4 operators (oracle-backed) ----
+        "semantic_dedup_pairs": _q_semantic_dedup,
+        "source_mix_report": _q_source_mix,
+        "degree_histogram": _q_degree_histogram,
+        # ================= end of 50-slot driver window =================
+        # stable backlog: driver-green in r1-r3, unchanged since
         "dedup_lastwins": _q_dedup_lastwins,
         "endpoint_semi_join": _q_endpoint_semi_join,
         "regional_revenue": _q_regional_revenue,
-        # ================= end of 50-slot driver window =================
-        # stable backlog: driver-green in r1-r3, unchanged since
         "kg_top_connected": _q_kg_top_connected,
         "kg_canonical": _q_kg_canonical,
         "kg_graphrag_search": _q_kg_graphrag,
@@ -3576,6 +3623,60 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe path must return exactly what the
     # inline IVF computation returns — same oracle
     oracles["ann_ivf_indexed_topk"] = oracles["ann_ivf_topk"]
+    oracles["semantic_dedup_pairs"] = f"""
+        -- same centroid/assignment derivation as ann_ivf_topk, then
+        -- exact pair cosine within each cell (vec_a < vec_b)
+        WITH cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8)),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 {_cos_sql('e.embedding', 'c.cv', guard_b=True)} AS ccos
+          FROM embeddings e CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cell
+                   ) AS rn
+            FROM scored) t
+          WHERE rn = 1)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.cell AS cell,
+               round({_pair_cos_sql('a.embedding', 'b.embedding')}, 6)
+                 AS cosine
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_pair_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    """
+    oracles["source_mix_report"] = f"""
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT md5({norm}))::BIGINT AS n_unique,
+               sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END)::BIGINT AS total_ws_tokens,
+               round(avg(length(text)), 6) AS avg_chars,
+               round(1.0 - count(DISTINCT md5({norm}))::DOUBLE / count(*), 6)
+                 AS dup_rate
+        FROM documents GROUP BY source
+    """
+    oracles["degree_histogram"] = """
+        -- same co-order edge derivation as part_triangles
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey),
+        nbr AS (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e),
+        deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY 1)
+        SELECT CAST(floor(log2(deg)) AS INT) AS bucket,
+               count(*)::BIGINT AS n_nodes,
+               min(deg)::BIGINT AS min_deg,
+               max(deg)::BIGINT AS max_deg
+        FROM deg GROUP BY 1
+    """
     # forced-vectorized assignment must place every vector in the same
     # cell as the literal-codegen path -> identical oracle
     oracles["ann_ivf_vectorized_topk"] = oracles["ann_ivf_topk"]

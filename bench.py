@@ -115,6 +115,28 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     # (real executor JVMs; each owns its cores, so no task.cpus
     # equalization is needed at either level)
     master = os.environ.get("KGSPARK_BENCH_MASTER") or f"local[{cpus}]"
+    # input-split sizing: at the bench corpus size (~1 GB of pages)
+    # the default 128 MB maxPartitionBytes file-packs the scan into ~6
+    # input splits, idling 2 of 8 slots through the DOMINANT map
+    # stages (event-log profile, BENCH/profile_cluster.md) — a small-
+    # input artifact a real 100 TB scan never hits (millions of
+    # splits), but the bench must express the same splits-per-slot
+    # ratio a cluster would see. 32 MB keeps every slot fed at the
+    # bench's parallelism levels.
+    extra.setdefault("spark.sql.files.maxPartitionBytes", "33554432")
+    # profiling hook: when set, write the Spark event log there so
+    # tools/stage_profile.py can attribute wall time per stage/exchange
+    # (used by the scaling-gap analysis, docs/SCALE.md)
+    evlog = os.environ.get("KGSPARK_BENCH_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        extra.update({
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evlog}",
+            # single plain-text file so the profiler can stream it
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        })
     spark = get_spark(
         "kgspark-bench", master=master, shuffle_partitions=cpus,
         extra_conf=extra,
@@ -124,6 +146,9 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
+        # tag every job with its bench segment so the event log can
+        # attribute stage wall time per segment (tools/stage_profile.py)
+        spark.sparkContext.setJobGroup(name, name)
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)

@@ -573,3 +573,38 @@ def adamic_adar(
         .orderBy(F.col("aa_score").desc(), src, dst)
         .limit(k)
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Log2-bucketed degree distribution of an undirected graph — the
+    power-law diagnostic behind every skew decision in this engine
+    (hub caps, salting thresholds, AQE skew-join expectations): bucket
+    b holds nodes with degree in [2^b, 2^(b+1)).
+
+    One edge canonicalize + one degree agg + one tiny bucket agg —
+    all map-side-combinable; output is O(log max_degree) rows."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("v")).union(
+        und.select(F.col("b").alias("v"))
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").alias("deg"))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("deg")).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )

@@ -3268,3 +3268,100 @@ def fuzzy_string_join(
         "r_val",
         F.levenshtein(F.lower("l_val"), F.lower("r_val")).alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style cluster-blocked semantic dedup (r4)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup (Abbas et al. 2023): cluster
+    the embeddings first (k-means cells — here the same IVF assignment
+    kernel the ANN index uses, argmax-cosine against a broadcast
+    centroid set), then compare pairs ONLY within a cell. The third
+    point of the engine's near-dup design space:
+
+      * embedding_near_dup      — exact O(n^2), the declared oracle anchor
+      * embedding_near_dup_lsh  — random-hyperplane banding (probabilistic)
+      * semantic_dedup_pairs    — cluster-blocked exact-within-cell: the
+        quadratic term collapses from n^2 to sum(n_cell^2), and the
+        cell self-join shuffles on the cell key, so at 10^12 docs the
+        cost is governed by the largest CLUSTER, not the corpus.
+        Recall is bounded by cluster purity (true dups land in the
+        same cell when centroids are meaningful) — the trade SemDeDup
+        makes deliberately; the LSH variant covers the complement.
+
+    Assignment auto-vectorizes above LITERAL_MATH_MAX_TERMS exactly
+    like the ANN path. Returns (vec_a, vec_b, cell, cosine) pairs,
+    vec_a < vec_b, cosine >= threshold — keep min(vec_a) per group for
+    the survivor set, same convention as the other near-dup ops.
+    """
+    assigned = ivf_assign(embeddings, centroids, vectorized=vectorized)
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "cell",
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", "cell",
+            pair_cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus composition report (r4)
+# ---------------------------------------------------------------------------
+
+def source_mix_report(documents: DataFrame) -> DataFrame:
+    """Training-mix composition by source (the per-domain/per-crawl
+    report a data team reads before weighting a mixture): per `source`
+    — document count, distinct normalized-content fingerprints, the
+    implied exact-dup rate, mean document length, and total whitespace
+    tokens (same token semantics as token_stats so the two reports
+    reconcile).
+
+    Shape: one fingerprint projection + one two-level agg
+    (count distinct via the fingerprint groupBy underneath a per-source
+    rollup would double-shuffle; count(DISTINCT) lets Catalyst plan the
+    single expand + two-phase agg). Columns are all algebraic — at
+    10^12 docs this is one scan + one exchange on source (tens of
+    groups), the cheapest possible report."""
+    t = F.col("text")
+    ws_tokens = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    return (
+        documents.select(
+            "source",
+            F.md5(norm_text(t)).alias("fp"),
+            F.length(t).cast("long").alias("n_chars"),
+            ws_tokens.cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_unique"),
+            F.sum("n_tok").cast("long").alias("total_ws_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+    )

@@ -32,6 +32,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles FINE and let AQE coalesce down: with partitions
+        # == cores, a wide agg's hash table must hold 1/cores of the
+        # data and spills (measured: the inverted-index agg spilled
+        # 1.3 GB of a 1.4 GB shuffle at 8 partitions, BENCH/profile_*).
+        # 4x initial granularity bounds per-task state; AQE merges the
+        # small ones back, so narrow queries pay nothing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions * 4, 64)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -379,3 +379,19 @@ def test_adamic_adar_degree_table_not_hint_broadcast(spark):
     assert "UnresolvedHint" not in analyzed
     # and the fix changed the plan only, not the answers
     assert df.count() > 0
+
+
+def test_degree_histogram_hand_computed(spark):
+    """Star 0-(1..5) plus edge 1-2: deg(0)=5 -> bucket 2; deg(1)=
+    deg(2)=2 -> bucket 1; deg(3..5)=1 -> bucket 0."""
+    from kgspark.cc import degree_histogram
+
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2), (2, 1)],  # dup collapses
+        "src long, dst long",
+    )
+    got = {
+        r["bucket"]: (r["n_nodes"], r["min_deg"], r["max_deg"])
+        for r in degree_histogram(e).collect()
+    }
+    assert got == {0: (3, 1, 1), 1: (2, 2, 2), 2: (1, 5, 5)}

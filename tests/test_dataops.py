@@ -1696,3 +1696,69 @@ def test_fuzzy_string_join_recall_and_precision(spark):
     assert got == want
     # short strings (cat/cart) rely on the q=2 gram ladder
     assert ("cat", "cart") in got
+
+
+def test_semantic_dedup_blocked_subset_of_exact(spark):
+    """SemDeDup (cluster-blocked) pairs are exactly the EXACT near-dup
+    pairs whose endpoints share a cell: same cosines, no extras — and
+    with a single centroid (one cell) the two are identical."""
+    from kgspark.dataops import (
+        embedding_near_dup,
+        ivf_assign,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.05, 0.99, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    got = {
+        (r["vec_a"], r["vec_b"]): round(r["cosine"], 6)
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.8).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): round(r["cosine"], 6)
+        for r in embedding_near_dup(emb, threshold=0.8).collect()
+    }
+    cell = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()
+    }
+    expected = {
+        p: c for p, c in exact.items() if cell[p[0]] == cell[p[1]]
+    }
+    assert got == expected and got  # (0,1) and (2,3) here
+    # one cell -> blocking is a no-op -> identical to the exact op
+    one = {
+        (r["vec_a"], r["vec_b"]): round(r["cosine"], 6)
+        for r in semantic_dedup_pairs(
+            emb, [[1.0, 1.0, 1.0, 1.0]], threshold=0.8
+        ).collect()
+    }
+    assert one == exact
+
+
+def test_source_mix_report_hand_computed(spark):
+    from kgspark.dataops import source_mix_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "web"),
+            (1, "alpha  beta", "web"),   # same normalized content
+            (2, "gamma", "web"),
+            (3, "delta epsilon zeta", "wiki"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in source_mix_report(docs).collect()}
+    web, wiki = got["web"], got["wiki"]
+    assert web["n_docs"] == 3 and web["n_unique"] == 2
+    assert web["dup_rate"] == round(1 - 2 / 3, 6)
+    assert web["total_ws_tokens"] == 2 + 2 + 1
+    assert wiki["n_docs"] == 1 and wiki["dup_rate"] == 0.0
+    assert wiki["total_ws_tokens"] == 3
