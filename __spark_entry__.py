@@ -1924,6 +1924,50 @@ def _q_degree_histogram(spark, sf_dir):
     return degree_histogram(pairs)
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source content overlap (Jaccard of fingerprint sets per
+    source pair sharing >= 1 doc) — the contamination diagnostic
+    before mixing crawls. prefix_tokens=5 fingerprints the first 5
+    normalized tokens (the syndication/mirror detector; full-content
+    fingerprints find nothing cross-source in this corpus, so the
+    prefix mode also makes the oracle comparison non-vacuous).
+    Fingerprint self-join: zero-intersection pairs never
+    materialize."""
+    from kgspark.dataops import source_overlap
+
+    return source_overlap(
+        _read(spark, sf_dir, "documents"), prefix_tokens=5
+    )
+
+
+def _q_per_source_sample(spark, sf_dir):
+    """Deterministic balanced sample: 3 docs per source by md5(doc_id)
+    order — reproducible across engines/runs/cluster sizes."""
+    from kgspark.dataops import per_source_sample
+
+    return per_source_sample(_read(spark, sf_dir, "documents"), k=3)
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Zipf exponent of the corpus term distribution (OLS slope of
+    ln freq on ln rank over the top-300 terms) — natural text ~ -1;
+    regr_slope is an algebraic agg, map-side combinable."""
+    from kgspark.dataops import zipf_slope
+
+    return zipf_slope(_read(spark, sf_dir, "documents"), top_n=300)
+
+
+def _q_negative_edges(spark, sf_dir):
+    """Deterministic hash-bucket-blocked negative sampling over the
+    parts-co-ordered graph: 30 non-edges drawn by md5 key — the
+    link-prediction training-negative generator; candidate fanout is
+    n^2/n_buckets, never all-pairs."""
+    from kgspark.cc import co_order_pairs, negative_edges
+
+    pairs = co_order_pairs(_read(spark, sf_dir, "lineitem"))
+    return negative_edges(pairs, k=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md §2).
 
@@ -1998,15 +2042,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 3. KG rows-only smoke set (touched paths + new stage) ----
         "kg_khop_related": _q_kg_khop,
         "kg_curated": _q_kg_curated,
-        "kg_triples": _q_kg_triples,
-        "kg_chunk_stats": _q_kg_chunk_stats,
         "kg_lineage": _q_kg_lineage,
         # ---- 4. new round-4 operators (oracle-backed) ----
         "semantic_dedup_pairs": _q_semantic_dedup,
         "source_mix_report": _q_source_mix,
         "degree_histogram": _q_degree_histogram,
+        "negative_edges": _q_negative_edges,
+        "zipf_slope": _q_zipf_slope,
         # ================= end of 50-slot driver window =================
+        # r4 additions past the window: oracle-verified locally via
+        # tools/check_oracle.py --json (BENCH/oracle_full_r4.json);
+        # rotate into the window next round
+        "source_overlap": _q_source_overlap,
+        "per_source_sample": _q_per_source_sample,
         # stable backlog: driver-green in r1-r3, unchanged since
+        "kg_triples": _q_kg_triples,
+        "kg_chunk_stats": _q_kg_chunk_stats,
         "dedup_lastwins": _q_dedup_lastwins,
         "endpoint_semi_join": _q_endpoint_semi_join,
         "regional_revenue": _q_regional_revenue,
@@ -3662,6 +3713,70 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 - count(DISTINCT md5({norm}))::DOUBLE / count(*), 6)
                  AS dup_rate
         FROM documents GROUP BY source
+    """
+    oracles["source_overlap"] = f"""
+        WITH fps AS (SELECT DISTINCT source,
+                     md5(array_to_string(
+                       (regexp_split_to_array({norm}, ' '))[1:5], ' '))
+                       AS fp
+                     FROM documents),
+        sizes AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*)::BIGINT AS n_shared
+                  FROM fps a JOIN fps b
+                    ON a.fp = b.fp AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared,
+               round(n_shared::DOUBLE / (sa.n_fp + sb.n_fp - n_shared), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.source_a
+        JOIN sizes sb ON sb.source = inter.source_b
+    """
+    oracles["per_source_sample"] = """
+        SELECT source, doc_id, rank FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rank
+          FROM documents) t
+        WHERE rank <= 3
+    """
+    oracles["zipf_slope"] = """
+        WITH terms AS (SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS term FROM documents),
+        counts AS (SELECT term, count(*)::DOUBLE AS freq
+                   FROM terms GROUP BY 1),
+        ranked AS (SELECT freq,
+                          CAST(row_number() OVER (ORDER BY freq DESC, term)
+                               AS DOUBLE) AS rank
+                   FROM counts)
+        SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+               count(*)::BIGINT AS n_terms
+        FROM ranked WHERE rank <= 300
+    """
+    oracles["negative_edges"] = """
+        -- same co-order edges as part_triangles; bucket = md5-hash60
+        -- of the node id mod 64 (engine-portable 60-bit hash)
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey),
+        nodes AS (SELECT DISTINCT v FROM
+                  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t),
+        nb AS (SELECT v,
+                      ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15))
+                        ::BIGINT % 64 AS bucket
+               FROM nodes),
+        cand AS (SELECT x.v AS a, y.v AS b
+                 FROM nb x JOIN nb y
+                   ON x.bucket = y.bucket AND x.v < y.v),
+        neg AS (SELECT a, b FROM cand ANTI JOIN e USING (a, b))
+        SELECT a AS src, b AS dst,
+               md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR))
+                 AS draw_key
+        FROM neg ORDER BY draw_key LIMIT 30
     """
     oracles["degree_histogram"] = """
         -- same co-order edge derivation as part_triangles

@@ -608,3 +608,65 @@ def degree_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / embedding
+    training: k node pairs that are NOT edges, drawn reproducibly (no
+    rand()) so the same negatives pair with the same positives on
+    every engine, run, and cluster size.
+
+    Candidate generation is HASH-BUCKET-blocked, never all-pairs:
+    bucket(v) = md5-hash(v) mod n_buckets, candidates are same-bucket
+    pairs (a < b) — fanout sum(n_bucket^2) = n^2/n_buckets in
+    expectation, tunable to the negative budget (at 10^9 nodes you
+    raise n_buckets so a bucket holds ~sqrt(k) nodes). Existing edges
+    leave via left_anti on the canonicalized edge set; the final k is
+    a TakeOrderedAndProject on md5(a||b) — an unbiased-within-block,
+    auditable draw."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15),
+                       16, 10).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    x = nodes.select("bucket", F.col("v").alias("a"))
+    y = nodes.select("bucket", F.col("v").alias("b"))
+    cand = (
+        x.join(y, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .join(und, ["a", "b"], "left_anti")
+    )
+    pick = F.md5(
+        F.concat(F.col("a").cast("string"), F.lit("|"),
+                 F.col("b").cast("string"))
+    )
+    return (
+        cand.select(
+            F.col("a").alias(src), F.col("b").alias(dst),
+            pick.alias("draw_key"),
+        )
+        .orderBy("draw_key")
+        .limit(k)
+    )

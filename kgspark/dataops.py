@@ -3365,3 +3365,123 @@ def source_mix_report(documents: DataFrame) -> DataFrame:
             F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source corpus diagnostics + balanced sampling (r4)
+# ---------------------------------------------------------------------------
+
+def source_overlap(
+    documents: DataFrame, prefix_tokens: int | None = None
+) -> DataFrame:
+    """Exact content overlap between sources: Jaccard similarity of the
+    normalized-fingerprint sets of every source pair that shares at
+    least one document — the cross-source contamination diagnostic run
+    before mixing crawls/dumps (a mirror site or re-crawled domain
+    shows up as a high-Jaccard pair and would silently double-weight
+    its content in a training mix).
+
+    Scale shape: distinct (source, fp) projection, then a self-join on
+    the FINGERPRINT — fanout is per-fp source multiplicity (tiny),
+    never sources^2; pairs with zero intersection never materialize,
+    which is what makes this work at millions of domains. Set sizes
+    join back by source (two small aggs).
+
+    `prefix_tokens=n` fingerprints only the first n normalized tokens
+    — the lead-paragraph/syndication detector (mirrors and wire-copy
+    share openings long before they share full bodies); None = exact
+    full-content overlap."""
+    if prefix_tokens is None:
+        fp = F.md5(norm_text(F.col("text")))
+    else:
+        fp = F.md5(
+            F.array_join(
+                F.slice(
+                    F.split(norm_text(F.col("text")), " "),
+                    1, prefix_tokens,
+                ),
+                " ",
+            )
+        )
+    fps = documents.select("source", fp.alias("fp")).distinct()
+    sizes = fps.groupBy("source").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n_fp").alias("n_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n_fp").alias("n_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def per_source_sample(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic balanced sample: k documents per source, chosen by
+    md5(doc_id) order — the per-domain/per-crawl eval-set draw that is
+    reproducible across engines, runs, and cluster sizes (no rand()).
+    One exchange on source + a per-group window; group state is the
+    top-k heap, so a billion-doc source costs its scan, not its sort."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        documents.select(
+            "source", "doc_id", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def zipf_slope(documents: DataFrame, top_n: int = 500) -> DataFrame:
+    """Zipf exponent of the corpus term distribution: OLS slope of
+    ln(freq) on ln(rank) over the top_n terms — natural text sits near
+    -1; a slope far off flags boilerplate floods or synthetic/spammy
+    text before any model sees it. One tokenize->agg pass + a top_n
+    window over the (tiny) distinct-term counts + a 1-row regression
+    agg (regr_slope is algebraic — map-side combinable)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    terms = (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.col("term"))
+    ranked = terms.select(
+        "freq", F.row_number().over(w).cast("double").alias("rank")
+    ).filter(F.col("rank") <= top_n)
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        F.count("*").cast("long").alias("n_terms"),
+    )

@@ -395,3 +395,22 @@ def test_degree_histogram_hand_computed(spark):
         for r in degree_histogram(e).collect()
     }
     assert got == {0: (3, 1, 1), 1: (2, 2, 2), 2: (1, 5, 5)}
+
+
+def test_negative_edges_are_nonedges_and_deterministic(spark):
+    from kgspark.cc import negative_edges
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "src long, dst long"
+    )  # 12-ring: 54 non-edges exist
+    got = negative_edges(e, k=10, n_buckets=4).collect()
+    assert len(got) == 10
+    edges = {(min(a, b), max(a, b)) for a, b in [(i, (i + 1) % 12) for i in range(12)]}
+    pairs = {(r["src"], r["dst"]) for r in got}
+    assert all(a < b for a, b in pairs)
+    assert not (pairs & edges)
+    again = {
+        (r["src"], r["dst"])
+        for r in negative_edges(e, k=10, n_buckets=4).collect()
+    }
+    assert again == pairs

@@ -1762,3 +1762,63 @@ def test_source_mix_report_hand_computed(spark):
     assert web["total_ws_tokens"] == 2 + 2 + 1
     assert wiki["n_docs"] == 1 and wiki["dup_rate"] == 0.0
     assert wiki["total_ws_tokens"] == 3
+
+
+def test_source_overlap_hand_computed(spark):
+    from kgspark.dataops import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared text", "a"),
+            (1, "shared text", "b"),   # same fp in a and b
+            (2, "only in a", "a"),
+            (3, "only in b", "b"),
+            (4, "only in c", "c"),     # no overlap -> no row
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"], r["n_shared"]) == ("a", "b", 1)
+    assert r["jaccard"] == round(1 / 3, 6)  # |A|=2, |B|=2, inter=1
+
+
+def test_per_source_sample_deterministic_and_balanced(spark):
+    from kgspark.dataops import per_source_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    got = per_source_sample(docs, k=4).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in by_src.values()) and len(by_src) == 3
+    # repeat run draws the identical sample (hash order, no rand())
+    again = {
+        (r["source"], r["doc_id"]) for r in per_source_sample(docs, k=4).collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in got}
+
+
+def test_zipf_slope_detects_flat_vs_skewed(spark):
+    """A corpus where every term is equally frequent has slope ~0; a
+    geometrically decaying one is strongly negative."""
+    from kgspark.dataops import zipf_slope
+
+    flat = spark.createDataFrame(
+        [(i, "aa bb cc dd") for i in range(10)], "doc_id long, text string"
+    )
+    assert abs(zipf_slope(flat, top_n=4).first()["zipf_slope"]) < 1e-9
+
+    rows = []
+    did = 0
+    for rank, term in enumerate(["t0", "t1", "t2", "t3"]):
+        for _ in range(2 ** (4 - rank)):  # 16, 8, 4, 2
+            rows.append((did, term))
+            did += 1
+    skew = spark.createDataFrame(rows, "doc_id long, text string")
+    s = zipf_slope(skew, top_n=4).first()["zipf_slope"]
+    assert s < -0.5
