@@ -1968,6 +1968,52 @@ def _q_negative_edges(spark, sf_dir):
     return negative_edges(pairs, k=30)
 
 
+def _q_collocations_pmi(spark, sf_dir):
+    """Top-25 adjacent-word collocations by PMI (min pair count 5) —
+    phrase mining / tokenizer merge candidates. Join-based adjacency
+    (posexplode + pos+1 self-join); corpus totals ride as broadcast
+    1-row aggs inside the plan."""
+    from kgspark.dataops import collocations_pmi
+
+    return collocations_pmi(
+        _read(spark, sf_dir, "documents"), min_count=5, k=25
+    )
+
+
+def _q_embedding_norm_stats(spark, sf_dir):
+    """Vector sanity gate: corpus size, dim spread, zero-norm count,
+    norm distribution — catches the zero-norm/NaN-topk bug class at
+    ingest instead of at query time."""
+    from kgspark.dataops import embedding_norm_stats
+
+    return embedding_norm_stats(_read(spark, sf_dir, "embeddings"))
+
+
+def _q_kmeans_inertia(spark, sf_dir):
+    """Per-cell clustering quality (member count + mean cosine distance
+    to the assigned centroid) over the same first-8 centroid set as the
+    IVF oracle — the inertia report that picks k / flags degenerate
+    cells before an IVF or SemDeDup pass trusts the clustering."""
+    from kgspark.dataops import kmeans_inertia
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    return kmeans_inertia(emb, cents)
+
+
+def _q_value_twap(spark, sf_dir):
+    """Time-weighted average value per user: each event weighted by its
+    holding interval (micros until the next event) — the standard
+    irregular-sampling correction; exact integer weights keep it
+    engine-deterministic at 6 dp."""
+    from kgspark.dataops import value_twap
+
+    return value_twap(_read(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md §2).
 
@@ -2055,6 +2101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the window next round
         "source_overlap": _q_source_overlap,
         "per_source_sample": _q_per_source_sample,
+        "collocations_pmi": _q_collocations_pmi,
+        "embedding_norm_stats": _q_embedding_norm_stats,
+        "kmeans_inertia": _q_kmeans_inertia,
+        "value_twap": _q_value_twap,
         # stable backlog: driver-green in r1-r3, unchanged since
         "kg_triples": _q_kg_triples,
         "kg_chunk_stats": _q_kg_chunk_stats,
@@ -3713,6 +3763,81 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 - count(DISTINCT md5({norm}))::DOUBLE / count(*), 6)
                  AS dup_rate
         FROM documents GROUP BY source
+    """
+    oracles["collocations_pmi"] = """
+        WITH toks AS (
+          SELECT doc_id, i AS pos, arr[i] AS w FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+            FROM documents) d,
+          LATERAL unnest(range(1, len(arr) + 1)) AS t(i)),
+        uni AS (SELECT w, count(*)::DOUBLE AS n_w FROM toks GROUP BY 1),
+        big_all AS (SELECT a.w AS a, b.w AS b, count(*)::DOUBLE AS n_ab
+                    FROM toks a JOIN toks b
+                      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                    GROUP BY 1, 2),
+        tot AS (SELECT (SELECT sum(n_w) FROM uni) AS n_tokens,
+                       (SELECT sum(n_ab) FROM big_all) AS n_bigrams)
+        SELECT a, b, CAST(n_ab AS BIGINT) AS n_pair,
+               round(ln((n_ab / n_bigrams) /
+                        ((ua.n_w / n_tokens) * (ub.n_w / n_tokens))), 6)
+                 AS pmi
+        FROM big_all
+        JOIN uni ua ON ua.w = big_all.a
+        JOIN uni ub ON ub.w = big_all.b, tot
+        WHERE n_ab >= 5
+        ORDER BY pmi DESC, a, b LIMIT 25
+    """
+    oracles["embedding_norm_stats"] = """
+        WITH s AS (SELECT len(embedding) AS dim,
+                          sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            AS norm
+                   FROM embeddings)
+        SELECT count(*)::BIGINT AS n_vecs,
+               min(dim)::BIGINT AS dim_min,
+               max(dim)::BIGINT AS dim_max,
+               sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_zero_norm,
+               round(avg(norm), 6) AS avg_norm,
+               round(min(norm), 6) AS min_norm,
+               round(max(norm), 6) AS max_norm
+        FROM s
+    """
+    oracles["kmeans_inertia"] = f"""
+        -- same centroid/assignment derivation as ann_ivf_topk, keeping
+        -- the winning cosine for the distance report
+        WITH cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8)),
+        scored AS (
+          SELECT e.vec_id, c.cell,
+                 {_cos_sql('e.embedding', 'c.cv', guard_b=True)} AS ccos
+          FROM embeddings e CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, cell, ccos FROM (
+            SELECT vec_id, cell, ccos,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cell
+                   ) AS rn
+            FROM scored) t
+          WHERE rn = 1)
+        SELECT cell, count(*)::BIGINT AS n_members,
+               round(avg(1.0 - ccos), 6) AS avg_cos_dist
+        FROM assign GROUP BY cell
+    """
+    oracles["value_twap"] = """
+        WITH r AS (
+          SELECT user_id, value,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) - epoch_us(ts) AS w_us
+          FROM events)
+        SELECT user_id, count(*)::BIGINT AS n_intervals,
+               round(sum(value * w_us) / sum(w_us), 6) AS twap
+        FROM r WHERE w_us IS NOT NULL GROUP BY user_id
     """
     oracles["source_overlap"] = f"""
         WITH fps AS (SELECT DISTINCT source,

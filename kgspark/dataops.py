@@ -3485,3 +3485,164 @@ def zipf_slope(documents: DataFrame, top_n: int = 500) -> DataFrame:
         ),
         F.count("*").cast("long").alias("n_terms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocations, vector sanity, cluster quality, temporal TWAP (r4, batch 2)
+# ---------------------------------------------------------------------------
+
+def collocations_pmi(
+    documents: DataFrame, min_count: int = 5, k: int = 25
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) over ADJACENT token pairs —
+    the phrase-mining primitive (multi-word entities, tokenizer merge
+    candidates, boilerplate phrase detection). `min_count` suppresses
+    the low-frequency PMI explosion (a pair seen once between two rare
+    words scores absurdly high — the classic PMI failure mode).
+
+    Shape: posexplode tokens, bigrams via a (doc_id, pos+1) self-join
+    (join-based adjacency is engine-portable; array-slice zip needs
+    length guards ANSI mode rejects), then two counting aggs (unigram,
+    bigram — both map-side combinable). The corpus totals N and B ride
+    as broadcast 1-row aggregates INSIDE the plan (no driver actions,
+    no second pass over the token stream). Top-k is
+    TakeOrderedAndProject on (rounded PMI, pair)."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "w"),
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("double").alias("n_w"))
+    lhs = toks.select("doc_id", "pos", F.col("w").alias("a"))
+    rhs = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("b")
+    )
+    big_all = (
+        lhs.join(rhs, ["doc_id", "pos"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("n_ab"))
+    )
+    totals = uni.agg(F.sum("n_w").alias("n_tokens")).crossJoin(
+        big_all.agg(F.sum("n_ab").alias("n_bigrams"))
+    )
+    big = big_all.filter(F.col("n_ab") >= min_count)
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_bigrams"))
+        / (
+            (F.col("n_a") / F.col("n_tokens"))
+            * (F.col("n_b") / F.col("n_tokens"))
+        )
+    )
+    return (
+        big.join(uni.select(F.col("w").alias("a"),
+                            F.col("n_w").alias("n_a")), "a")
+        .join(uni.select(F.col("w").alias("b"),
+                         F.col("n_w").alias("n_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a", "b",
+            F.col("n_ab").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(k)
+    )
+
+
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Vector sanity gate run before any ANN/dedup job: one row with
+    corpus size, dimension spread, zero-norm count, and the norm
+    distribution (a normalized corpus shows avg~1; a mixed-dim or
+    zero-norm batch is an upstream bug caught here, not as NaN scores
+    later — Spark sorts NaN ABOVE all doubles, so an unguarded zero
+    norm would silently win every top-k). One scan, one algebraic agg."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return embeddings.select(
+        F.size("embedding").alias("dim"), norm.alias("norm")
+    ).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("dim").cast("long").alias("dim_min"),
+        F.max("dim").cast("long").alias("dim_max"),
+        F.sum((F.col("norm") == 0).cast("long")).alias("n_zero_norm"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+def kmeans_inertia(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """Clustering-quality report: per cell, member count and mean
+    cosine DISTANCE (1 - cos) to the assigned centroid — the inertia
+    curve that picks k and flags degenerate cells before an IVF index
+    or a SemDeDup pass trusts the clustering. Same argmax-cosine
+    assignment kernel as ivf_assign (auto-vectorized above the literal
+    threshold); one extra cosine against the chosen centroid via an
+    element_at into the centroid literal array; one agg on cell."""
+    from .query import cosine_score  # noqa: PLC0415
+
+    assigned = ivf_assign(embeddings, centroids, vectorized=vectorized)
+    best = F.array(
+        *[cosine_score(F.col("embedding"), c) for c in centroids]
+    )
+    return (
+        assigned.select(
+            "cell",
+            (
+                F.lit(1.0) - F.element_at(best, F.col("cell") + 1)
+            ).alias("dist"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.avg("dist"), 6).alias("avg_cos_dist"),
+        )
+        .orderBy("cell")
+    )
+
+
+def value_twap(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by the seconds until the user's NEXT event, so a
+    reading that held for an hour outweighs ten one-second blips —
+    the standard fix for irregularly-sampled metrics (price feeds,
+    sensor states, engagement levels). The user's last event has no
+    holding interval and drops out (users with one event emit NULL-free
+    zero rows).
+
+    One exchange on user_id; lead() reuses the same sort; the weighted
+    mean derives from two SUMs of exact integer microsecond weights
+    times values — engine-deterministic after the final round."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mic = ts_micros(events, "ts")
+    rows = events.select(
+        "user_id", "value",
+        (F.lead(mic, 1).over(w) - mic).alias("w_us"),
+    ).filter(F.col("w_us").isNotNull())
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("w_us"))
+                / F.sum("w_us"),
+                6,
+            ).alias("twap"),
+        )
+    )

@@ -1822,3 +1822,73 @@ def test_zipf_slope_detects_flat_vs_skewed(spark):
     skew = spark.createDataFrame(rows, "doc_id long, text string")
     s = zipf_slope(skew, top_n=4).first()["zipf_slope"]
     assert s < -0.5
+
+
+def test_collocations_pmi_finds_fixed_phrase(spark):
+    """A phrase whose words only ever appear together maxes PMI; a
+    pair of independent common words scores near zero."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "san francisco " + "the cat " * 5))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from kgspark.dataops import collocations_pmi
+
+    got = {(r["a"], r["b"]): r for r in collocations_pmi(docs, min_count=5, k=10).collect()}
+    assert ("san", "francisco") in got
+    sf = got[("san", "francisco")]["pmi"]
+    # p(san francisco)=p(san)=p(francisco) -> PMI = ln(N^2 / (B * n))
+    assert sf == max(r["pmi"] for r in got.values())
+    if ("the", "cat") in got:
+        assert got[("the", "cat")]["pmi"] < sf
+
+
+def test_embedding_norm_stats_flags_zero_norm(spark):
+    from kgspark.dataops import embedding_norm_stats
+
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_norm_stats(emb).first()
+    assert r["n_vecs"] == 3 and r["n_zero_norm"] == 1
+    assert r["dim_min"] == r["dim_max"] == 2
+    assert r["max_norm"] == 5.0 and r["min_norm"] == 0.0
+
+
+def test_kmeans_inertia_tight_vs_loose_cells(spark):
+    from kgspark.dataops import kmeans_inertia
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [1.0, 0.0]),          # exactly on c0
+            (2, [0.0, 1.0]), (3, [0.5, 1.0]),          # around c1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["cell"]: r for r in kmeans_inertia(
+        emb, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert got[0]["n_members"] == 2 and got[0]["avg_cos_dist"] == 0.0
+    assert got[1]["n_members"] == 2 and got[1]["avg_cos_dist"] > 0.0
+
+
+def test_value_twap_weights_by_holding_time(spark):
+    """value 10 held 90s then value 0 held 10s -> TWAP 9; the final
+    event has no interval and drops; single-event users emit nothing."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, 10.0),
+        (2, base + dt.timedelta(seconds=90), 1, 0.0),
+        (3, base + dt.timedelta(seconds=100), 1, 99.0),   # no successor
+        (4, base, 2, 5.0),                                 # single event
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    from kgspark.dataops import value_twap
+
+    got = {r["user_id"]: r for r in value_twap(ev).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_intervals"] == 2
+    assert got[1]["twap"] == 9.0
