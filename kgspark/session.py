@@ -32,15 +32,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # start shuffles FINE and let AQE coalesce down: with partitions
-        # == cores, a wide agg's hash table must hold 1/cores of the
-        # data and spills (measured: the inverted-index agg spilled
-        # 1.3 GB of a 1.4 GB shuffle at 8 partitions, BENCH/profile_*).
-        # 4x initial granularity bounds per-task state; AQE merges the
-        # small ones back, so narrow queries pay nothing.
+        # AQE initial shuffle granularity. Two measured regimes
+        # (BENCH/profile_cluster.md): on MEMORY-BOUNDED executors
+        # (4-6 GB), partitions == cores makes a wide agg hold 1/cores
+        # of the data per task and spill (the inverted-index agg
+        # spilled 1.3 GB of a 1.4 GB shuffle at 8 partitions) — there,
+        # 4x-cores initial partitions eliminated the spill entirely.
+        # On the single-JVM 128 GB local bench nothing ever spills and
+        # fine initial partitions instead tax the many-small-job
+        # iterative segments 2-5x (A/B: kg_analytics 12.1s vs 26.8s).
+        # Default = cores (the no-spill regime); the scaling protocols
+        # and any bounded-memory deployment export
+        # KGSPARK_AQE_INITIAL_FACTOR=4 KGSPARK_AQE_INITIAL_MIN=64.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(shuffle_partitions * 4, 64)),
+            str(max(
+                shuffle_partitions
+                * int(os.environ.get("KGSPARK_AQE_INITIAL_FACTOR", "1")),
+                int(os.environ.get("KGSPARK_AQE_INITIAL_MIN", "1")),
+                shuffle_partitions,
+            )),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
