@@ -2014,6 +2014,15 @@ def _q_value_twap(spark, sf_dir):
     return value_twap(_read(spark, sf_dir, "events"))
 
 
+def _q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split, self-calibrated on the
+    corpus's own unigram-LM score distribution (exact interpolated
+    1/3 and 2/3 percentiles, broadcast threshold row, one CASE)."""
+    from kgspark.dataops import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md §2).
 
@@ -2105,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _q_embedding_norm_stats,
         "kmeans_inertia": _q_kmeans_inertia,
         "value_twap": _q_value_twap,
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,
         # stable backlog: driver-green in r1-r3, unchanged since
         "kg_triples": _q_kg_triples,
         "kg_chunk_stats": _q_kg_chunk_stats,
@@ -3763,6 +3773,32 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 - count(DISTINCT md5({norm}))::DOUBLE / count(*), 6)
                  AS dup_rate
         FROM documents GROUP BY source
+    """
+    oracles["lm_perplexity_buckets"] = f"""
+        -- unigram_lm_score's derivation + corpus-percentile CASE; the
+        -- thresholds cut the ROUNDED scores (bit-deterministic)
+        WITH words AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split({norm}, ' ')) AS word
+            FROM documents) t
+          WHERE word <> ''
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf
+               FROM words GROUP BY 1, 2),
+        lm AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+        tot AS (SELECT sum(c) AS total FROM lm),
+        s AS (SELECT doc_id,
+                     round(sum(tf * -ln(c * 1.0 / total)) / sum(tf), 6)
+                       AS avg_neg_logp
+              FROM tf JOIN lm USING (word), tot GROUP BY 1),
+        thr AS (SELECT quantile_cont(avg_neg_logp, 0.3333333333333333) AS t_head,
+                       quantile_cont(avg_neg_logp, 0.6666666666666666) AS t_tail
+                FROM s)
+        SELECT doc_id, avg_neg_logp,
+               CASE WHEN avg_neg_logp < t_head THEN 'head'
+                    WHEN avg_neg_logp < t_tail THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s, thr
     """
     oracles["collocations_pmi"] = """
         WITH toks AS (

@@ -35,6 +35,10 @@ scaling runs time the r2-comparable list): corpus_filters
 link_prediction (Adamic-Adar, deg<=128 cap), corpus_cleaning
 (paragraph dedup + unigram LM + hashed-feature classifier), bpe_train
 (5 merges over the word-frequency table).
+r4-new segments (extras): corpus_analytics (source mix / overlap /
+balanced sample / Zipf slope / PMI collocations), semantic_ops
+(embedding sanity + SemDeDup cluster-blocked pairs + k-means inertia +
+degree histogram + negative-edge sampling).
 
 Scaling-efficiency evidence (BASELINE.md protocol) is produced by
 tools/bench_scaling.py which runs this same workload at two
@@ -462,6 +466,43 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
             bpe_train(docs, n_merges=5).count()
 
         timed("bpe_train", bpe_train_seg)
+
+        # r4-new: cross-source / term-statistics analytics over documents
+        def corpus_analytics():
+            from kgspark.dataops import (  # noqa: PLC0415
+                collocations_pmi,
+                per_source_sample,
+                source_mix_report,
+                source_overlap,
+                zipf_slope,
+            )
+
+            source_mix_report(docs).count()
+            source_overlap(docs, prefix_tokens=5).count()
+            per_source_sample(docs, k=3).count()
+            zipf_slope(docs, top_n=300).collect()
+            collocations_pmi(docs, min_count=5, k=25).collect()
+
+        timed("corpus_analytics", corpus_analytics)
+
+        # r4-new: cluster-blocked semantic dedup + cluster quality +
+        # graph sampling diagnostics
+        def semantic_ops():
+            from kgspark.cc import (  # noqa: PLC0415
+                co_order_pairs, degree_histogram, negative_edges,
+            )
+            from kgspark.dataops import (  # noqa: PLC0415
+                embedding_norm_stats, kmeans_inertia, semantic_dedup_pairs,
+            )
+
+            embedding_norm_stats(emb).collect()
+            semantic_dedup_pairs(emb, cents, threshold=0.4).count()
+            kmeans_inertia(emb, cents).collect()
+            pairs = co_order_pairs(read("lineitem"))
+            degree_histogram(pairs).collect()
+            negative_edges(pairs, k=30).collect()
+
+        timed("semantic_ops", semantic_ops)
 
     def relational():
         li = read("lineitem")

@@ -3646,3 +3646,36 @@ def value_twap(events: DataFrame) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+def lm_perplexity_buckets(
+    documents: DataFrame, head: float = 1.0 / 3, tail: float = 2.0 / 3
+) -> DataFrame:
+    """CCNet's signature move (Wenzek et al. 2020): split the corpus
+    into head / middle / tail by LANGUAGE-MODEL perplexity percentiles
+    of the corpus's own score distribution — head (lowest
+    avg-neg-logp third) is near-certain clean prose, tail is the
+    gibberish/boilerplate end, middle is where human review or a
+    secondary classifier earns its keep. Self-calibrated like
+    curate_corpus: no absolute perplexity constant to re-tune per
+    crawl/language.
+
+    Composition of oracle-checked parts: unigram_lm_score (the
+    in-engine SQL-trainable LM; an external KenLM drops into the same
+    join shape) -> two exact interpolated percentiles (one 1-row agg)
+    -> a broadcast threshold row -> one CASE per doc. Bucketing
+    compares the ROUNDED score against percentiles OF the rounded
+    scores, so the cut is bit-deterministic across engines."""
+    sc = unigram_lm_score(documents).select("doc_id", "avg_neg_logp")
+    thr = sc.agg(
+        F.expr(f"percentile(avg_neg_logp, {head!r})").alias("__t_head"),
+        F.expr(f"percentile(avg_neg_logp, {tail!r})").alias("__t_tail"),
+    )
+    return sc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_neg_logp",
+        F.when(F.col("avg_neg_logp") < F.col("__t_head"), F.lit("head"))
+        .when(F.col("avg_neg_logp") < F.col("__t_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

