@@ -53,11 +53,16 @@ def run_once(sf_dir: str, cpus: int, zip_path: Path, n_pages: int,
     env["KGSPARK_BENCH_SENT_SCALE"] = str(sent_scale)
     # scaling runs time the r2-comparable headline segments only
     env["KGSPARK_BENCH_SKIP_EXTRAS"] = "1"
-    # memory-bounded regime: fine initial shuffle partitions stop the
-    # index-agg spill (zero post-fix, BENCH/profile_cluster.md); set at
-    # BOTH levels so the comparison is conf-identical
-    env.setdefault("KGSPARK_AQE_INITIAL_FACTOR", "4")
-    env.setdefault("KGSPARK_AQE_INITIAL_MIN", "64")
+    if mode == "cluster":
+        # memory-bounded executors (4-6 GB): fine initial shuffle
+        # partitions stop the index-agg spill (zero post-fix,
+        # BENCH/profile_cluster.md); set at BOTH levels so the
+        # comparison is conf-identical. The single-JVM modes (pinned/
+        # raw/equalized, 16 GB driver) never spill — they keep the
+        # engine default, which also keeps them comparable with the
+        # r1-r3 readings.
+        env.setdefault("KGSPARK_AQE_INITIAL_FACTOR", "4")
+        env.setdefault("KGSPARK_AQE_INITIAL_MIN", "64")
     if mode == "cluster":
         # REAL executor JVMs: local-cluster[n,2,mem] spawns n separate
         # executor processes with 2 cores each — each executor owns its
