@@ -496,11 +496,22 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
             )
 
             embedding_norm_stats(emb).collect()
-            semantic_dedup_pairs(emb, cents, threshold=0.4).count()
+            # SemDeDup's cost is sum(n_cell^2): cells must scale with
+            # the corpus (~sqrt(n) keeps per-cell work flat) — 8 cells
+            # on 5k vectors would be a 1.5M-pair quadratic, the exact
+            # misuse the op's docstring warns about
+            n_cells = max(8, int(emb.count() ** 0.5))
+            sd_cents = [
+                [float(x) for x in r["embedding"]]
+                for r in emb.orderBy("vec_id").limit(n_cells).collect()
+            ]
+            semantic_dedup_pairs(emb, sd_cents, threshold=0.4).count()
             kmeans_inertia(emb, cents).collect()
             pairs = co_order_pairs(read("lineitem"))
             degree_histogram(pairs).collect()
-            negative_edges(pairs, k=30).collect()
+            # n_buckets tunes candidate fanout (n^2/buckets) to the
+            # draw budget — the docstring's scale lever, exercised here
+            negative_edges(pairs, k=30, n_buckets=1024).collect()
 
         timed("semantic_ops", semantic_ops)
 

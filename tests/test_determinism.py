@@ -78,3 +78,49 @@ def test_corpus_ops_invariant_under_partitioning(spark):
     a, b = run(2), run(11)
     for k in a:
         assert a[k] == b[k], f"{k} differs across partitioning"
+
+
+def test_r4_ops_invariant_under_partitioning(spark):
+    """Same property for the round-4 operators: identical rows at any
+    input partitioning (cluster-size-independent training decisions)."""
+    from kgspark import dataops
+    from kgspark.cc import degree_histogram, negative_edges
+
+    rows = [
+        (i,
+         ("the quick brown fox jumps over the lazy dog " * (1 + i % 2))
+         + f"unique token{i}",
+         f"src{i % 4}")
+        for i in range(40)
+    ]
+    docs_ddl = "doc_id long, text string, source string"
+    edges = [(i % 13, (i * 7) % 13) for i in range(40)]
+
+    def run(parts):
+        d = spark.createDataFrame(rows, docs_ddl).repartition(parts)
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        emb = spark.createDataFrame(
+            [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        ).repartition(parts)
+        cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+        out = {}
+        out["mix"] = sorted(map(tuple, dataops.source_mix_report(d).collect()))
+        out["ovl"] = sorted(map(tuple, dataops.source_overlap(
+            d, prefix_tokens=5).collect()))
+        out["pss"] = sorted(map(tuple, dataops.per_source_sample(d, k=2).collect()))
+        out["zipf"] = [tuple(r) for r in dataops.zipf_slope(d, top_n=20).collect()]
+        out["pmi"] = [tuple(r) for r in dataops.collocations_pmi(
+            d, min_count=5, k=10).collect()]
+        out["ppl"] = sorted(map(tuple, dataops.lm_perplexity_buckets(d).collect()))
+        out["sdd"] = sorted(map(tuple, dataops.semantic_dedup_pairs(
+            emb, cents, threshold=0.2).collect()))
+        out["inertia"] = [tuple(r) for r in dataops.kmeans_inertia(emb, cents).collect()]
+        out["ens"] = [tuple(r) for r in dataops.embedding_norm_stats(emb).collect()]
+        out["dh"] = [tuple(r) for r in degree_histogram(e).collect()]
+        out["neg"] = [tuple(r) for r in negative_edges(e, k=10, n_buckets=4).collect()]
+        return out
+
+    a, b = run(2), run(9)
+    for k in a:
+        assert a[k] == b[k], f"{k} differs across partitioning"
