@@ -444,16 +444,42 @@ def _unit_rows(mat):
 
 
 def _ivf_assign_vectorized(
-    embeddings: DataFrame, centroids: list[list[float]]
+    embeddings: DataFrame, centroids: list[list[float]], with_score: bool = False
 ) -> DataFrame:
     """Argmax-cosine cell assignment as ONE BLAS matmul per Arrow batch
     over a broadcast centroid matrix — the production-dim path. Same
     semantics as the literal path: full cosine (both sides normalized,
-    zero-norm guarded to 0) with first-max-wins tie-break (np.argmax)."""
+    zero-norm guarded to 0) with first-max-wins tie-break (np.argmax).
+    `with_score` also emits the winning cosine (`best_cos`) — the row
+    max the matmul already computes; discarding and re-deriving it
+    downstream was the r4 kmeans_inertia literal-codegen blowup."""
     import numpy as np  # noqa: PLC0415
 
     cmat = _unit_rows(np.asarray(centroids, dtype=np.float64))
     bc = embeddings.sparkSession.sparkContext.broadcast(cmat)
+
+    if with_score:
+        @F.pandas_udf("cell int, best_cos double")
+        def assign_score_udf(embs: pd.Series) -> pd.DataFrame:
+            c = bc.value
+            if len(embs) == 0:
+                return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                     "best_cos": pd.Series([], dtype="float64")})
+            e = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+            sims = _unit_rows(e) @ c.T
+            cells = np.argmax(sims, axis=1)
+            return pd.DataFrame({
+                "cell": pd.Series(cells, dtype="int32"),
+                "best_cos": pd.Series(sims[np.arange(len(cells)), cells],
+                                      dtype="float64"),
+            })
+
+        st = assign_score_udf(F.col("embedding"))
+        return embeddings.select(
+            "vec_id", "embedding",
+            st.getField("cell").alias("cell"),
+            st.getField("best_cos").alias("best_cos"),
+        )
 
     @F.pandas_udf("int")
     def assign_udf(embs: pd.Series) -> pd.Series:
@@ -473,6 +499,7 @@ def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],
     vectorized: bool | None = None,
+    with_score: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: argmax cosine per vector — the scale path
     for ANN (search only the probed cells instead of the full table).
@@ -484,21 +511,29 @@ def ivf_assign(
       * broadcast-numpy pandas UDF (default above the threshold): one
         matmul per Arrow batch — the only plan that survives production
         dims (dim 3072 x nlist 1024 = 3M literals cannot codegen).
-    `vectorized` forces a path explicitly (tests assert both agree)."""
+    `vectorized` forces a path explicitly (tests assert both agree).
+    `with_score` adds a `best_cos` column (the assigned centroid's
+    cosine) on BOTH paths — consumers needing the distance (e.g.
+    kmeans_inertia) must read it here instead of re-scoring against a
+    centroid-literal array, which would reintroduce the codegen blowup
+    the vectorized path exists to avoid."""
     if vectorized is None:
         dim = len(centroids[0]) if centroids else 0
         vectorized = len(centroids) * dim > LITERAL_MATH_MAX_TERMS
     if vectorized:
-        return _ivf_assign_vectorized(embeddings, centroids)
+        return _ivf_assign_vectorized(embeddings, centroids, with_score=with_score)
     from .query import cosine_score  # noqa: PLC0415
 
     scores = F.array(
         *[cosine_score(F.col("embedding"), c) for c in centroids]
     )
-    return embeddings.select(
-        "vec_id", "embedding",
+    cols = [
+        F.col("vec_id"), F.col("embedding"),
         (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cell"),
-    )
+    ]
+    if with_score:
+        cols.append(F.array_max(scores).alias("best_cos"))
+    return embeddings.select(*cols)
 
 
 def ivf_ann(
@@ -3280,6 +3315,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vectorized: bool | None = None,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-dup (Abbas et al. 2023): cluster
     the embeddings first (k-means cells — here the same IVF assignment
@@ -3301,20 +3337,53 @@ def semantic_dedup_pairs(
     like the ANN path. Returns (vec_a, vec_b, cell, cosine) pairs,
     vec_a < vec_b, cosine >= threshold — keep min(vec_a) per group for
     the survivor set, same convention as the other near-dup ops.
-    """
-    assigned = ivf_assign(embeddings, centroids, vectorized=vectorized)
+
+    `max_cell_rows` caps the quadratic term per cell: a DEGENERATE
+    giant cell (exactly what boilerplate floods produce at crawl
+    scale) is otherwise O(n_cell^2) no matter how good the centroids
+    are. Cells above the cap are split deterministically by a
+    secondary md5 hash of the vector id into ceil(n_cell /
+    max_cell_rows) sub-cells, and pairs are generated only WITHIN a
+    sub-cell — bounding every self-join group at ~max_cell_rows rows
+    at a documented recall cost (cross-sub-cell dups are missed; the
+    same trade as the Adamic-Adar hub cap). Off (None) by default —
+    the exact-within-cell mode is the oracle anchor."""
+    src = embeddings
+    if id_col != "vec_id":
+        # ivf_assign requires/emits the (vec_id, embedding) contract;
+        # adapt the caller's id column on the way in and restore it on
+        # the way out
+        src = embeddings.withColumnRenamed(id_col, "vec_id")
+    assigned = ivf_assign(src, centroids, vectorized=vectorized)
+    if id_col != "vec_id":
+        assigned = assigned.withColumnRenamed("vec_id", id_col)
+    keys = ["cell"]
+    if max_cell_rows is not None:
+        sizes = assigned.groupBy("cell").agg(
+            F.ceil(F.count("*") / F.lit(max_cell_rows)).cast("int").alias("__n_sub")
+        )
+        # n_cells rows — broadcastable at any realistic nlist
+        assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
+            "subcell",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                       16, 10).cast("long"),
+                F.greatest(F.col("__n_sub"), F.lit(1)),
+            ).cast("int"),
+        ).drop("__n_sub")
+        keys = ["cell", "subcell"]
     a = assigned.select(
         F.col(id_col).alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        "cell",
+        *keys,
     )
     b = assigned.select(
         F.col(id_col).alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        "cell",
+        *keys,
     )
     return (
-        a.join(b, ["cell"])
+        a.join(b, keys)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a", "vec_b", "cell",
@@ -3459,9 +3528,15 @@ def zipf_slope(documents: DataFrame, top_n: int = 500) -> DataFrame:
     """Zipf exponent of the corpus term distribution: OLS slope of
     ln(freq) on ln(rank) over the top_n terms — natural text sits near
     -1; a slope far off flags boilerplate floods or synthetic/spammy
-    text before any model sees it. One tokenize->agg pass + a top_n
-    window over the (tiny) distinct-term counts + a 1-row regression
-    agg (regr_slope is algebraic — map-side combinable)."""
+    text before any model sees it. One tokenize->agg pass, then
+    orderBy().limit(top_n) — TakeOrderedAndProject: a per-partition
+    heap of top_n rows, never a global sort — and only the surviving
+    <=top_n rows flow through the rank window + the 1-row regression
+    agg (regr_slope is algebraic — map-side combinable). The r4 shape
+    (global window, THEN filter rank<=top_n) ranked the entire distinct
+    vocabulary through one task — at web scale [a-z0-9]+ over 10^12
+    docs yields 10^9+ distinct tokens, so the limit must come first
+    (same fix key_skew_stats uses)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     terms = (
@@ -3476,9 +3551,11 @@ def zipf_slope(documents: DataFrame, top_n: int = 500) -> DataFrame:
         .agg(F.count("*").cast("double").alias("freq"))
     )
     w = Window.orderBy(F.desc("freq"), F.col("term"))
-    ranked = terms.select(
-        "freq", F.row_number().over(w).cast("double").alias("rank")
-    ).filter(F.col("rank") <= top_n)
+    ranked = (
+        terms.orderBy(F.desc("freq"), F.col("term"))
+        .limit(top_n)
+        .select("freq", F.row_number().over(w).cast("double").alias("rank"))
+    )
     return ranked.agg(
         F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias(
             "zipf_slope"
@@ -3591,20 +3668,18 @@ def kmeans_inertia(
     curve that picks k and flags degenerate cells before an IVF index
     or a SemDeDup pass trusts the clustering. Same argmax-cosine
     assignment kernel as ivf_assign (auto-vectorized above the literal
-    threshold); one extra cosine against the chosen centroid via an
-    element_at into the centroid literal array; one agg on cell."""
-    from .query import cosine_score  # noqa: PLC0415
-
-    assigned = ivf_assign(embeddings, centroids, vectorized=vectorized)
-    best = F.array(
-        *[cosine_score(F.col("embedding"), c) for c in centroids]
+    threshold) run with `with_score=True`, so the winning cosine comes
+    out of the assignment itself — on the vectorized path that is the
+    row max the matmul already computed, NOT a re-score against a
+    centroid-literal array (re-scoring was the r4 codegen blowup: at
+    dim 3072 x nlist 1024 the literal array is 3M terms and cannot
+    codegen, defeating the vectorized assignment). One agg on cell."""
+    assigned = ivf_assign(
+        embeddings, centroids, vectorized=vectorized, with_score=True
     )
     return (
         assigned.select(
-            "cell",
-            (
-                F.lit(1.0) - F.element_at(best, F.col("cell") + 1)
-            ).alias("dist"),
+            "cell", (F.lit(1.0) - F.col("best_cos")).alias("dist")
         )
         .groupBy("cell")
         .agg(

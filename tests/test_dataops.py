@@ -1916,3 +1916,159 @@ def test_lm_perplexity_buckets_split_and_order(spark):
         by_bucket.setdefault(r["bucket"], []).append(r["avg_neg_logp"])
     if "head" in by_bucket and "tail" in by_bucket:
         assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+
+
+# ---------------------------------------------------------------------------
+# round 5: scale fixes
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_inertia_vectorized_no_centroid_literals(spark):
+    """r5 directive 1: the vectorized inertia path must NOT rebuild the
+    all-centroid cosine literal array (the r4 codegen blowup) — the
+    distance comes from the best_cos the assignment matmul already
+    computed. Distinctive centroid components would appear verbatim in
+    the plan string if any literal re-score survived."""
+    from kgspark.dataops import kmeans_inertia
+
+    marker = 0.1234567891
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.2]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[marker, 0.0], [0.0, marker]]
+
+    vplan = kmeans_inertia(emb, cents, vectorized=True)._jdf.queryExecution(
+    ).executedPlan().toString()
+    lplan = kmeans_inertia(emb, cents, vectorized=False)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ArrowEvalPython" in vplan and str(marker) not in vplan
+    assert "ArrowEvalPython" not in lplan and str(marker) in lplan
+
+
+def test_kmeans_inertia_paths_agree(spark):
+    """Both physical strategies are the same operator: identical cells
+    and member counts, distances equal to float tolerance."""
+    from kgspark.dataops import kmeans_inertia
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(6).collect()
+    ]
+    lit = {r["cell"]: r for r in kmeans_inertia(
+        emb, cents, vectorized=False).collect()}
+    vec = {r["cell"]: r for r in kmeans_inertia(
+        emb, cents, vectorized=True).collect()}
+    assert set(lit) == set(vec) and lit
+    for c in lit:
+        assert lit[c]["n_members"] == vec[c]["n_members"]
+        assert abs(lit[c]["avg_cos_dist"] - vec[c]["avg_cos_dist"]) <= 1e-6
+
+
+def test_ivf_assign_with_score_matches_rescoring(spark):
+    """with_score=True's best_cos equals the max cosine over all
+    centroids on both paths (spot-checked against a driver-side
+    recompute)."""
+    import math
+
+    from kgspark.dataops import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    for vectorized in (False, True):
+        rows = ivf_assign(emb, cents, vectorized=vectorized,
+                          with_score=True).collect()
+        assert rows
+        for r in rows:
+            want = max(cos([float(x) for x in r["embedding"]], c)
+                       for c in cents)
+            assert abs(r["best_cos"] - want) <= 1e-9, (vectorized, r["vec_id"])
+
+
+def test_zipf_slope_plan_limits_before_rank(spark):
+    """r5 directive 2: the rank window must consume a TakeOrdered top_n
+    subset, never the full vocabulary (the r4 single-partition global
+    window). In the physical tree the Window is the PARENT of the
+    top-k node, so it prints first."""
+    from kgspark.dataops import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common words here" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = zipf_slope(docs, top_n=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_semantic_dedup_cell_cap_bounds_pairs(spark):
+    """r5 directive 4: a degenerate giant cell (every vector lands on
+    one centroid) is quadratic without the cap; with max_cell_rows the
+    pair count drops to the within-sub-cell total, the surviving pairs
+    are a subset of the uncapped ones, and the split is deterministic."""
+    import numpy as np
+
+    from kgspark.dataops import semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    n = 60
+    rows = [
+        (i, (np.array([1.0, 0.0, 0.0, 0.0])
+             + 0.01 * rng.standard_normal(4)).tolist())
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    full = {(r["vec_a"], r["vec_b"])
+            for r in semantic_dedup_pairs(emb, cents, threshold=0.0).collect()}
+    assert len(full) == n * (n - 1) // 2  # one giant cell, all pairs
+
+    capped = {(r["vec_a"], r["vec_b"])
+              for r in semantic_dedup_pairs(
+                  emb, cents, threshold=0.0, max_cell_rows=10).collect()}
+    assert capped < full            # strictly fewer pairs, all genuine
+    assert len(capped) < len(full) // 2
+    again = {(r["vec_a"], r["vec_b"])
+             for r in semantic_dedup_pairs(
+                 emb, cents, threshold=0.0, max_cell_rows=10).collect()}
+    assert again == capped          # deterministic split
+
+    # a cell under the cap is untouched: cap larger than the cell
+    uncapped_small = {(r["vec_a"], r["vec_b"])
+                      for r in semantic_dedup_pairs(
+                          emb, cents, threshold=0.0,
+                          max_cell_rows=n).collect()}
+    assert uncapped_small == full
+
+
+def test_semantic_dedup_id_col_plumbed(spark):
+    """ADVICE r4: id_col was dead (ivf_assign hardcodes vec_id). A
+    caller table keyed doc_id must work and give the same pairs."""
+    from kgspark.dataops import semantic_dedup_pairs
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    base = {(r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+            for r in semantic_dedup_pairs(emb, cents, threshold=0.8).collect()}
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    got = {(r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+           for r in semantic_dedup_pairs(
+               renamed, cents, threshold=0.8, id_col="doc_id").collect()}
+    assert got == base and got
