@@ -885,6 +885,47 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=10)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """BPE encode/apply (r5): tokenize the corpus with its own trained
+    merge list — the step a training-data pipeline runs over 100% of
+    bytes — via the production mapInPandas path (broadcast rank dict,
+    greedy merge per word inside each Arrow batch, per-batch word
+    cache). Rows-only: training is an iterative driver loop, so no
+    static SQL oracle; pytest pins (a) parity with the JVM regexp-
+    chain path, (b) parity with a sequential Python encoder, (c)
+    token-count reconciliation invariants. SELF-CHECKING columns: the
+    driver hash covers per-doc bounds_ok = n_words <= n_bpe_tokens <=
+    n_chars, so a broken encoder flips hashed values, not just
+    unchecked counts."""
+    from kgspark.bpe import bpe_encode, bpe_train
+    from kgspark.dataops import norm_text
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    enc = bpe_encode(docs, merges, vectorized=True)
+    bounds = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(norm_text(F.col("text")), " "),
+                     lambda w: w != "")
+        ).cast("bigint").alias("n_words"),
+        F.length(
+            F.regexp_replace(norm_text(F.col("text")), " ", "")
+        ).cast("bigint").alias("n_chars"),
+    )
+    return enc.join(bounds, "doc_id").select(
+        "doc_id",
+        "n_bpe_tokens",
+        (
+            (F.col("n_words") <= F.col("n_bpe_tokens"))
+            & (F.col("n_bpe_tokens") <= F.col("n_chars"))
+        ).alias("bounds_ok"),
+    )
+
+
 def _q_fuzzy_vocab_linkage(spark, sf_dir):
     """Record linkage by approximate string join: probe strings (each
     vocabulary word >= 5 chars with its 2nd char deleted) matched back
@@ -2135,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct,
         "sessionize": _q_sessionize,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "data_quality_report": _q_data_quality_report,
         "corpus_curation": _q_corpus_curation,
         "snapshot_cdc_diff": _q_snapshot_cdc_diff,

@@ -39,6 +39,8 @@ r4-new segments (extras): corpus_analytics (source mix / overlap /
 balanced sample / Zipf slope / PMI collocations), semantic_ops
 (embedding sanity + SemDeDup cluster-blocked pairs + k-means inertia +
 degree histogram + negative-edge sampling).
+r5-new segment (extras): bpe_encode (train 5 merges, then tokenize the
+full corpus through the mapInPandas broadcast-rank encoder).
 
 Scaling-efficiency evidence (BASELINE.md protocol) is produced by
 tools/bench_scaling.py which runs this same workload at two
@@ -466,6 +468,26 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
             bpe_train(docs, n_merges=5).count()
 
         timed("bpe_train", bpe_train_seg)
+
+        # r5-new: encode the corpus with its trained merges — the step
+        # a pipeline runs over 100% of bytes. Trains once (5 merges,
+        # same as bpe_train_seg), then times the mapInPandas encoder
+        # (the production-vocabulary path, forced here so the bench
+        # exercises the Arrow-batched kernel, not the 5-rule regexp
+        # chain).
+        def bpe_encode_seg():
+            from kgspark.bpe import bpe_encode, bpe_train  # noqa: PLC0415
+
+            merges = [
+                (r["left"], r["right"])
+                for r in bpe_train(docs, n_merges=5)
+                .orderBy("rank").collect()
+            ]
+            bpe_encode(docs, merges, vectorized=True).agg(
+                F.sum("n_bpe_tokens")
+            ).collect()
+
+        timed("bpe_encode", bpe_encode_seg)
 
         # r4-new: cross-source / term-statistics analytics over documents
         def corpus_analytics():

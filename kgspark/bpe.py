@@ -132,16 +132,48 @@ def bpe_train(
     )
 
 
+# Above this many merge rules the regexp-chain encode path is replaced
+# by the broadcast-dict mapInPandas encoder: each rule is one nested
+# regexp_replace Catalyst node, so a production vocabulary (32k merges)
+# would build a 32k-deep expression tree inside a transform lambda —
+# the same codegen-blowup class as LITERAL_MATH_MAX_TERMS in dataops.
+# The literal path stays the default below the threshold because it is
+# fully JVM-side (no Python in the plan).
+BPE_LITERAL_MAX_RULES = 128
+
+
 def bpe_encode(
     documents: DataFrame,
     merge_rules: list[tuple[str, str]],
     text_col: str = "text",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Apply a learned merge list to the corpus: per-doc BPE token
-    count (the \"tokens under MY tokenizer\" accounting every data-mix
-    budget needs). The rewrite chain runs PER WORD inside a transform
-    lambda — BPE merges never cross word boundaries — composed into
-    ONE projection: zero shuffle, column-pruned scan."""
+    count (the "tokens under MY tokenizer" accounting every data-mix
+    budget needs — the one step a training pipeline runs over 100% of
+    bytes). Two physical strategies, same semantics:
+
+      * regexp chain (default below BPE_LITERAL_MAX_RULES): one JVM
+        regexp_replace per merge composed into ONE projection — zero
+        shuffle, column-pruned scan, no Python;
+      * broadcast-dict mapInPandas (default above the threshold — the
+        production path at 32k-merge vocabularies): classic greedy BPE
+        per word inside each Arrow batch against a broadcast
+        (left,right)->rank dict, with a per-batch word cache (corpus
+        word frequency is zipfian, so the cache absorbs almost every
+        lookup). Still zero shuffle; Arrow-batched, never per-row.
+
+    Equivalence of the two orders (regexp applies rules 0..k-1 each
+    globally; greedy repeatedly merges the lowest-rank pair present)
+    holds because a pair learned at rank r is composed of symbols
+    created strictly before r — a rank-r adjacency can never be
+    CREATED by a later merge, so full application in rank order finds
+    exactly the pairs greedy-by-rank finds (pytest asserts parity on
+    both fixed and randomized corpora)."""
+    if vectorized is None:
+        vectorized = len(merge_rules) > BPE_LITERAL_MAX_RULES
+    if vectorized:
+        return _bpe_encode_vectorized(documents, merge_rules, text_col)
 
     def _word_token_count(w):
         col = F.concat_ws(" ", F.split(w, "(?!$)"))
@@ -167,4 +199,84 @@ def bpe_encode(
         F.aggregate(
             per_word, F.lit(0), lambda acc, x: acc + x
         ).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Sequential greedy BPE encode of one word (driver-side twin of
+    the distributed encoder — also the pytest reference): repeatedly
+    merge every left-to-right non-overlapping occurrence of the
+    lowest-rank adjacent pair present."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and ranks.get((syms[i], syms[i + 1])) == best
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_encode_vectorized(
+    documents: DataFrame,
+    merge_rules: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """mapInPandas BPE encode against a broadcast rank dict — the
+    production-vocabulary path (see bpe_encode). Normalization matches
+    norm_text bit-for-bit: Java \\s is ASCII-only, so the Python twin
+    uses the explicit ASCII whitespace class, not Python's unicode
+    \\s."""
+    import re as _re  # noqa: PLC0415
+
+    ranks = {
+        (left, right): i for i, (left, right) in enumerate(merge_rules)
+    }
+    bc = documents.sparkSession.sparkContext.broadcast(ranks)
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode_batches(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        rk = bc.value
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                n = len(encode_word(w, rk))
+                cache[w] = n
+            return n
+
+        for pdf in batches:
+            counts = []
+            for t in pdf[text_col]:
+                norm = ws.sub(" ", ("" if t is None else t).lower()).strip()
+                counts.append(
+                    sum(word_tokens(w) for w in norm.split(" ") if w)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        encode_batches, "doc_id bigint, n_bpe_tokens bigint"
     )

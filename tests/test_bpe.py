@@ -110,3 +110,119 @@ def test_bpe_regex_safe_symbols(spark):
         (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
         for r in got
     ] == ref
+
+
+# ---------------------------------------------------------------------------
+# round 5: encode at scale (mapInPandas path)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_vectorized_matches_literal(spark):
+    """The broadcast-dict mapInPandas encoder and the regexp chain are
+    two physical strategies for the SAME operator: identical per-doc
+    token counts on a trained merge list over real corpus text."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    assert merges
+    lit = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=False).collect()}
+    vec = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=True).collect()}
+    assert lit == vec and len(lit) == docs.count()
+
+
+def test_bpe_encode_vectorized_matches_literal_randomized(spark):
+    """Order-equivalence (rank-sequential regexp vs greedy-by-rank)
+    on adversarial short alphabets where merge chains stack deep —
+    including runs of repeated symbols, the left-to-right
+    non-overlapping edge case."""
+    import random
+
+    rng = random.Random(5)
+    texts = [
+        " ".join(
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(1, 20))
+        )
+        for _ in range(40)
+    ] + ["aaaa aaaaa aaaaaa", "abab ababab", ""]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)], DOCS_DDL
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    lit = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=False).collect()}
+    vec = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=True).collect()}
+    assert lit == vec
+
+
+def test_bpe_encode_word_sequential_reference():
+    """encode_word against hand-computed classic BPE encodes."""
+    from kgspark.bpe import encode_word
+
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert encode_word("low", ranks) == ["low"]
+    assert encode_word("lower", ranks) == ["low", "er"]
+    assert encode_word("xyz", ranks) == ["x", "y", "z"]
+    # run of a repeated pair merges left-to-right non-overlapping
+    assert encode_word("aaaa", {("a", "a"): 0}) == ["aa", "aa"]
+    assert encode_word("aaaaa", {("a", "a"): 0, ("aa", "aa"): 1}) == [
+        "aaaa", "a",
+    ]
+
+
+def test_bpe_encode_auto_switches_to_map_in_pandas(spark):
+    """Above BPE_LITERAL_MAX_RULES the plan must be the Arrow-batched
+    encoder, not a >128-deep regexp_replace expression tree; below it
+    the plan stays pure JVM."""
+    from kgspark.bpe import BPE_LITERAL_MAX_RULES
+
+    docs = spark.createDataFrame([(0, "low lower", "en")], DOCS_DDL)
+    many = [("l", "o"), ("lo", "w")] + [
+        ("q%d" % i, "z") for i in range(BPE_LITERAL_MAX_RULES)
+    ]
+    big = bpe_encode(docs, many)
+    small = bpe_encode(docs, [("l", "o")])
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in bplan
+    assert "MapInPandas" not in splan and "ArrowEvalPython" not in splan
+    # and the big-vocab plan actually runs
+    assert big.first()["n_bpe_tokens"] == 4
+
+
+def test_bpe_encode_counts_reconcile_with_training(spark):
+    """Token accounting invariants on the vectorized path: every word
+    is >= 1 token, <= its char length, and applying ZERO merges gives
+    exactly the per-doc character count of the normalized words."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    enc = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=True).collect()}
+    none = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode(docs, [], vectorized=True).collect()}
+    from kgspark.dataops import norm_text
+
+    words = {
+        r["doc_id"]: (r["n_words"], r["n_chars"])
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split(norm_text(F.col("text")), " "),
+                            lambda w: w != "")).alias("n_words"),
+            F.length(F.regexp_replace(norm_text(F.col("text")), " ", ""))
+            .alias("n_chars"),
+        ).collect()
+    }
+    for d, (n_words, n_chars) in words.items():
+        assert none[d] == n_chars
+        assert n_words <= enc[d] <= n_chars
