@@ -1415,20 +1415,31 @@ def _q_simhash_near_dup(spark, sf_dir):
 
 
 def _q_media_stats(spark, sf_dir):
-    """Multimodal plumbing (rows-only: binary KGSM container decode is
-    a mapInPandas stage, not SQL; correctness covered by pytest)."""
+    """Multimodal decode + stats (rows-only: binary decode is a
+    mapInPandas stage, not SQL; codec correctness covered by pytest).
+    Since r5 two thirds of the images are REAL encoded files (24-bit
+    BMP / P6 PPM, decoded by the dependency-free codecs in
+    kgspark.multimodal), so total_payload_bytes hashes actual decoded
+    pixel-buffer sizes, not stub header metadata."""
     from kgspark.multimodal import media_df, media_stats
 
     return media_stats(media_df(spark, 300)).orderBy("kind")
 
 
 def _q_media_frames(spark, sf_dir):
+    """Frame sampling over the mixed corpus: real images contribute
+    their DECODED raw RGB buffer as frame 0, so decoded_bytes (hashed
+    by the driver) reflects real codec output sizes (3*w*h), while
+    KGSM videos keep the fixed fake-frame accounting."""
     from kgspark.multimodal import media_df, sample_frames
 
     return (
         sample_frames(media_df(spark, 300), every_n=2)
         .groupBy("media_id")
-        .agg(F.count("*").alias("n_frames_kept"))
+        .agg(
+            F.count("*").alias("n_frames_kept"),
+            F.sum(F.length("frame")).alias("decoded_bytes"),
+        )
         .orderBy("media_id")
     )
 

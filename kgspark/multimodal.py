@@ -2,13 +2,18 @@
 with typed metadata, processed by Arrow-batched `mapInPandas` stages.
 
 The Spark-side plumbing — schemas, UDF signatures, batch shapes,
-partitioning — is real and tested. The codec work (JPEG decode, audio
-resample, video frame extraction) is NOT: this container has no
-image/audio libraries, so decode runs against a deterministic fake
-container format (`KGSM`, below) and the real-codec path is a
+partitioning — is real and tested. Since round 5 the IMAGE decode is
+real too: a dependency-free 24-bit BMP codec and a binary PPM (P6)
+codec implemented here in pure Python + numpy (`_decode_bmp` /
+`_decode_ppm`), running inside the same mapInPandas stages — decode,
+metadata, frame sampling, and nearest-neighbor resize all operate on
+actual decoded pixel arrays for BMP/PPM blobs. Formats needing
+external libraries (JPEG/PNG, audio resample, video codecs) remain a
 clearly-marked stub behind an import-try (PIL), raising
-NotImplementedError when absent. Swapping `_decode_payload` for a real
-codec changes no schema, no partitioning, and no driver code.
+NotImplementedError when absent; the deterministic fake container
+format (`KGSM`, below) still covers the audio/video plumbing shapes.
+Swapping `_decode_payload`'s fallback for a real codec changes no
+schema, no partitioning, and no driver code.
 
 Fake container format (deterministic, seeded by media_id):
 
@@ -79,7 +84,16 @@ def encode_media(media_id: str, kind: str, width: int = 0, height: int = 0,
 
 
 def _decode_header(content: bytes | None) -> tuple:
-    """(kind, width, height, n_frames, sample_rate, n_payload, valid)."""
+    """(kind, width, height, n_frames, sample_rate, n_payload, valid).
+    Recognizes the real image formats (BMP, P6 PPM — decoded by the
+    native codecs below) alongside the KGSM fake container; anything
+    else is a poison-pill row (valid=false), never a stage failure."""
+    if content and len(content) >= 2 and bytes(content[:2]) in (b"BM", b"P6"):
+        dims = _image_dims(content)
+        if dims is None:  # claimed BMP/PPM but malformed/truncated
+            return (None, 0, 0, 0, 0, len(content), False)
+        w, h, n_px = dims
+        return ("image", w, h, 1, 0, n_px, True)
     if not content or len(content) < HEADER_LEN or content[:4] != MAGIC:
         return (None, 0, 0, 0, 0, 0 if not content else len(content), False)
     kind_id, w, h, nf, sr = struct.unpack(">BHHHI", content[4:HEADER_LEN])
@@ -92,18 +106,139 @@ def _decode_header(content: bytes | None) -> tuple:
     return (kind, w, h, nf, sr, n_payload, kind is not None and not truncated)
 
 
-def _decode_payload(content: bytes):  # pragma: no cover - stub
-    """Real-codec decode stub. With PIL installed this would return a
-    numpy pixel array; this container has no image libraries."""
+# ---------------------------------------------------------------------------
+# real image codecs (pure Python + numpy; no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR
+    channel order — the on-disk format every BMP reader expects)."""
+    import numpy as np  # noqa: PLC0415
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                      2835, 2835, 0, 0)
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def _decode_bmp(content: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    array. Handles bottom-up (positive height) and top-down (negative
+    height) row order. Raises ValueError on anything the subset does
+    not cover (compressed, paletted, truncated) — callers treat that
+    as a poison-pill row, never a stage failure."""
+    import numpy as np  # noqa: PLC0415
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    row_size = (3 * w + 3) // 4 * 4
+    if offset + row_size * h > len(content):
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_size * h, offset=offset
+    ).reshape(h, row_size)
+    px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    import numpy as np  # noqa: PLC0415
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _decode_ppm(content: bytes):
+    """Decode a binary PPM (P6, maxval 255) into (h, w, 3) uint8 RGB.
+    Raises ValueError on the unsupported corners (ASCII P3, 16-bit
+    maxval, truncation)."""
+    import numpy as np  # noqa: PLC0415
+
+    if len(content) < 2 or content[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(content[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError("unsupported PPM")
+    pos += 1  # single whitespace byte after maxval
+    if pos + 3 * w * h > len(content):
+        raise ValueError("truncated PPM")
+    return np.frombuffer(
+        content, dtype=np.uint8, count=3 * w * h, offset=pos
+    ).reshape(h, w, 3)
+
+
+def _image_dims(content: bytes):
+    """(width, height, n_pixel_bytes) for a real image blob, or None
+    if the blob is not a supported real format — the cheap header-only
+    probe decode_meta uses (no full pixel materialization)."""
     try:
+        if content[:2] == b"BM":
+            px = _decode_bmp(bytes(content))
+        elif content[:2] == b"P6":
+            px = _decode_ppm(bytes(content))
+        else:
+            return None
+    except ValueError:
+        return None
+    h, w, _ = px.shape
+    return (w, h, 3 * w * h)
+
+
+def _decode_payload(content: bytes):
+    """Real image decode: dependency-free BMP/PPM codecs first, PIL
+    fallback for everything else (not installed in this container —
+    the remaining stub, clearly marked)."""
+    content = bytes(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    try:  # pragma: no cover - PIL absent in this container
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
 
         return Image.open(io.BytesIO(content))
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decode requires PIL, which is not installed; "
-            "use the KGSM deterministic-fake path (decode_meta/sample_frames)"
+            "decode for formats beyond BMP/PPM requires PIL, which is "
+            "not installed; BMP and P6 PPM decode natively here"
         ) from exc
 
 
@@ -111,9 +246,22 @@ def _decode_payload(content: bytes):  # pragma: no cover - stub
 # synthetic media corpus (seeded)
 # ---------------------------------------------------------------------------
 
+def media_pixels(media_id: str, width: int, height: int):
+    """Deterministic (h, w, 3) uint8 pixel array seeded by media_id —
+    the content of every synthetic real image."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.frombuffer(
+        _payload_bytes(media_id, 3 * width * height), dtype=np.uint8
+    ).reshape(height, width, 3)
+
+
 def media_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     """Deterministic fake media table: round-robin image/audio/video
-    with size parameters derived from the id."""
+    with size parameters derived from the id. Two of every three
+    images are REAL encoded files (alternating 24-bit BMP and P6 PPM,
+    deterministic seeded pixels) exercising the native codecs; the
+    third stays a KGSM container covering the fake-format plumbing."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -124,11 +272,17 @@ def media_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
                 w, h = 16 + (i % 7) * 16, 16 + (i % 5) * 16
                 nf = 1 if kind == "image" else (0 if kind == "audio" else 2 + i % 6)
                 sr = 8000 + (i % 4) * 4000 if kind == "audio" else 0
+                if kind == "image" and i % 9 == 0:
+                    content = encode_bmp(media_pixels(mid, w, h))
+                elif kind == "image" and i % 9 == 6:
+                    content = encode_ppm(media_pixels(mid, w, h))
+                else:
+                    content = encode_media(mid, kind, w, h, nf, sr)
                 rows.append({
                     "media_id": mid,
                     "url": f"https://example.org/media/{mid}",
                     "kind": kind,
-                    "content": encode_media(mid, kind, w, h, nf, sr),
+                    "content": content,
                     "meta": {"source": "synthetic", "seq": str(i)},
                 })
             yield pd.DataFrame(rows)
@@ -169,16 +323,28 @@ def decode_meta(media: DataFrame) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     """Video frame sampling: explode each video blob into one row per
-    kept frame (frame_idx % every_n == 0). One narrow map stage; output
-    is partitioned as the input (no shuffle)."""
+    kept frame (frame_idx % every_n == 0). A real image (BMP/PPM)
+    contributes its DECODED raw RGB pixel buffer as frame 0 — actual
+    codec work, not header metadata. One narrow map stage; output is
+    partitioned as the input (no shuffle)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                if raw[:2] in (b"BM", b"P6"):
+                    try:
+                        px = _decode_payload(raw)
+                    except ValueError:
+                        continue  # poison pill: malformed real image
+                    ids.append(mid)
+                    idxs.append(0)
+                    frames.append(px.tobytes())
+                    continue
                 kind, _, _, nf, _, _, valid = _decode_header(content)
                 if not valid or kind not in ("video", "image"):
                     continue
-                payload = bytes(content)[HEADER_LEN:]
+                payload = raw[HEADER_LEN:]
                 for f in range(0, nf, every_n):
                     fr = payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
                     if len(fr) < FRAME_BYTES:  # incomplete trailing frame
@@ -223,10 +389,25 @@ def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=FEATURES_DDL)
 
 
+def resize_pixels(px, width: int, height: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array via pure
+    numpy index arithmetic — the real resize kernel (the standard
+    thumbnail pass before a vision encoder; nearest-neighbor keeps it
+    dependency-free and bit-deterministic)."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w, _ = px.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return px[rows][:, cols]
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: rewrites the header dims and re-derives the
-    payload at the new size (fake path). The real-codec path would call
-    _decode_payload + PIL resize; schema and batching are identical."""
+    """Image resize stage. Real images (BMP/PPM) take the REAL path:
+    decode -> nearest-neighbor resize on the pixel array -> re-encode
+    in the same format. KGSM fake containers rewrite the header dims
+    and re-derive the fake payload (plumbing-only, as before). Schema
+    and batching identical either way."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
@@ -234,9 +415,20 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"], pdf["url"],
                 pdf["meta"],
             ):
-                k, _, _, nf, sr, _, valid = _decode_header(content)
-                if valid and k == "image":
-                    content = encode_media(mid, k, width, height, nf, sr)
+                raw = bytes(content or b"")
+                if raw[:2] in (b"BM", b"P6"):
+                    try:
+                        px = resize_pixels(_decode_payload(raw), width, height)
+                        content = (
+                            encode_bmp(px) if raw[:2] == b"BM"
+                            else encode_ppm(px)
+                        )
+                    except ValueError:
+                        pass  # poison pill passes through unchanged
+                else:
+                    k, _, _, nf, sr, _, valid = _decode_header(content)
+                    if valid and k == "image":
+                        content = encode_media(mid, k, width, height, nf, sr)
                 out_rows.append({
                     "media_id": mid, "url": url, "kind": kind,
                     "content": bytes(content), "meta": meta,

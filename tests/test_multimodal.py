@@ -45,17 +45,25 @@ def test_sample_frames(media):
     by_id = {}
     for r in frames:
         by_id.setdefault(r["media_id"], []).append(r)
-        assert len(r["frame"]) == mm.FRAME_BYTES
     for i in range(60):
         mid = f"m{i:08d}"
         kind = mm.KINDS[i % 3]
         if kind == "image":
             assert [r["frame_idx"] for r in by_id[mid]] == [0]
+            w, h = 16 + (i % 7) * 16, 16 + (i % 5) * 16
+            if i % 9 in (0, 6):  # real BMP/PPM: frame = decoded pixels
+                assert len(by_id[mid][0]["frame"]) == 3 * w * h
+                assert bytes(by_id[mid][0]["frame"]) == mm.media_pixels(
+                    mid, w, h
+                ).tobytes()
+            else:  # KGSM fake container keeps the fixed fake frame
+                assert len(by_id[mid][0]["frame"]) == mm.FRAME_BYTES
         elif kind == "video":
             nf = 2 + i % 6
             assert sorted(r["frame_idx"] for r in by_id[mid]) == list(
                 range(0, nf, 2)
             )
+            assert all(len(r["frame"]) == mm.FRAME_BYTES for r in by_id[mid])
         else:
             assert mid not in by_id
 
@@ -108,3 +116,104 @@ def test_media_stats(media):
 def test_real_codec_stub_is_marked(media):
     with pytest.raises(NotImplementedError, match="PIL"):
         mm._decode_payload(b"KGSM" + b"\x00" * 20)
+
+
+# ---------------------------------------------------------------------------
+# round 5: real pure-Python BMP / PPM codecs
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_bit_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for (h, w) in [(1, 1), (3, 5), (16, 16), (7, 13)]:  # odd widths pad
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = mm._decode_bmp(mm.encode_bmp(px))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, px)
+
+
+def test_ppm_roundtrip_bit_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    back = mm._decode_ppm(mm.encode_ppm(px))
+    assert np.array_equal(back, px)
+    # comment in header is skipped
+    blob = mm.encode_ppm(px)
+    commented = b"P6\n# a comment\n" + blob[3:]
+    assert np.array_equal(mm._decode_ppm(commented), px)
+
+
+def test_bmp_topdown_and_malformed():
+    import struct as st
+
+    import numpy as np
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    blob = bytearray(mm.encode_bmp(px))
+    # flip to top-down (negative height) and reverse the stored rows:
+    # decoder must produce the same logical image
+    st.pack_into("<i", blob, 22, -2)
+    row_size = (3 * 2 + 3) // 4 * 4
+    rows = bytes(blob[54:])
+    flipped = rows[row_size:] + rows[:row_size]
+    assert np.array_equal(
+        mm._decode_bmp(bytes(blob[:54]) + flipped), px
+    )
+    # truncated pixel data -> ValueError -> poison-pill in decode_meta
+    trunc = mm.encode_bmp(px)[:-4]
+    with pytest.raises(ValueError):
+        mm._decode_bmp(trunc)
+    meta = mm._decode_header(trunc)
+    assert meta[-1] is False
+
+
+def test_decode_payload_real_formats():
+    import numpy as np
+
+    px = mm.media_pixels("seed", 8, 6)
+    assert np.array_equal(mm._decode_payload(mm.encode_bmp(px)), px)
+    assert np.array_equal(mm._decode_payload(mm.encode_ppm(px)), px)
+
+
+def test_decode_meta_reports_decoded_dims_for_real_images(media):
+    got = {r["media_id"]: r for r in mm.decode_meta(media).collect()}
+    for i in range(0, 60, 3):  # images
+        r = got[f"m{i:08d}"]
+        w, h = 16 + (i % 7) * 16, 16 + (i % 5) * 16
+        assert r["valid"] and r["kind"] == "image"
+        assert (r["width"], r["height"]) == (w, h)
+        if i % 9 in (0, 6):  # real image: payload = decoded pixel bytes
+            assert r["n_payload_bytes"] == 3 * w * h
+
+
+def test_resize_real_images_resizes_pixels(media):
+    """Real path: decode -> nearest-neighbor -> re-encode; the resized
+    blob decodes to the exact subsampled pixel array."""
+    import numpy as np
+
+    resized = {r["media_id"]: bytes(r["content"])
+               for r in mm.resize_images(media, 8, 8).collect()}
+    for i in (0, 6):  # m0 BMP, m6 PPM
+        mid = f"m{i:08d}"
+        w, h = 16 + (i % 7) * 16, 16 + (i % 5) * 16
+        want = mm.resize_pixels(mm.media_pixels(mid, w, h), 8, 8)
+        got = mm._decode_payload(resized[mid])
+        assert got.shape == (8, 8, 3)
+        assert np.array_equal(got, want)
+
+
+def test_resize_pixels_nearest_neighbor_hand_checked():
+    import numpy as np
+
+    px = np.array(
+        [[[0, 0, 0], [1, 1, 1]], [[2, 2, 2], [3, 3, 3]]], dtype=np.uint8
+    )
+    up = mm.resize_pixels(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    # each source pixel becomes a 2x2 block
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 1
+    assert up[3, 0, 0] == 2 and up[3, 3, 0] == 3
