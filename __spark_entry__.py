@@ -90,18 +90,48 @@ def _q_kg_pagerank(spark, sf_dir):
     """Distributed PageRank over the constructed KG (rows-only:
     iterative power iteration isn't SQL; pytest verifies against a
     pure-Python reference to 1e-12 incl. dangling-mass handling).
-    Returns the top-10 entities by rank."""
+    SELF-CHECKING (r5 directive 6): every output row carries mass_ok
+    (|sum of ALL ranks - 1| < 1e-9 — the invariant damped PageRank
+    with dangling redistribution must hold every iteration) and
+    conv_delta (max |rank_10 - rank_9| over all nodes, rounded 6), and
+    the result is FILTERED on mass_ok — a mass-conservation bug
+    empties the result, which the driver's row count catches even on
+    a rows-only row. Returns the top-10 entities by rank."""
     from kgspark.cc import pagerank
 
     frames = _kg_frames(spark, sf_dir)
     edges = frames["kg_edges"].select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    pr = pagerank(edges, iterations=10)
+    pr = pagerank(edges, iterations=10).localCheckpoint(eager=True)
+    prev = pagerank(edges, iterations=9)
+    mass = pr.agg(F.sum("rank").alias("__mass"))
+    delta = (
+        pr.join(
+            prev.select("node", F.col("rank").alias("__rank_prev")),
+            "node", "full_outer",
+        )
+        .agg(
+            F.max(
+                F.abs(
+                    F.coalesce(F.col("rank"), F.lit(0.0))
+                    - F.coalesce(F.col("__rank_prev"), F.lit(0.0))
+                )
+            ).alias("__delta")
+        )
+    )
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(10)
+        .crossJoin(F.broadcast(mass))
+        .crossJoin(F.broadcast(delta))
+        .select(
+            "node", "rank",
+            (F.abs(F.col("__mass") - 1.0) < 1e-9).alias("mass_ok"),
+            F.round(F.col("__delta"), 6).alias("conv_delta"),
+        )
+        .filter(F.col("mass_ok"))
     )
 
 
@@ -213,10 +243,41 @@ def _q_streaming_source_stats(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy(F.desc("n_pages"))
-    return (
+    final = (
         stats.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("source", "n_pages", "n_chars")
+    )
+    # SELF-CHECKING (r5 directive 6): the accumulated custom state must
+    # equal a plain batch aggregate over the same landing dir; filtered
+    # on batch_equal so a state-accumulation bug flips the row count.
+    batch = (
+        spark.read.parquet(landing)
+        .withColumn(
+            "source", F.element_at(F.split(F.col("url"), "/"), -3)
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("__bn_pages"),
+            F.sum(F.length("text")).alias("__bn_chars"),
+        )
+    )
+    return (
+        final.join(batch, "source", "full_outer")
+        .select(
+            "source", "n_pages", "n_chars",
+            (
+                (
+                    F.coalesce(F.col("n_pages"), F.lit(-1))
+                    == F.coalesce(F.col("__bn_pages"), F.lit(-2))
+                )
+                & (
+                    F.coalesce(F.col("n_chars"), F.lit(-1))
+                    == F.coalesce(F.col("__bn_chars"), F.lit(-2))
+                )
+            ).alias("batch_equal"),
+        )
+        .filter(F.col("batch_equal"))
         .orderBy("source")
     )
 
@@ -760,10 +821,36 @@ def _q_hll_merged_distinct(spark, sf_dir):
     merged into a global estimate FROM THE SKETCHES (hll_union_agg) —
     the incremental stats pattern that answers distinct counts at
     100 TB without rescanning. Estimates are approximate -> rows-only;
-    pytest bounds the error and asserts merge==direct."""
+    pytest bounds the error and asserts merge==direct. SELF-CHECKING
+    (r5 directive 6): each row carries the exact distinct count, the
+    relative error (rounded 6), and is FILTERED on bound_ok
+    (rel_err <= 0.05 — generous vs HLL's ~1.6% at lgK=12, tight
+    enough that a broken merge flips the driver's row count)."""
     from kgspark.dataops import hll_merged_distinct
 
-    return hll_merged_distinct(_read(spark, sf_dir, "events"))
+    ev = _read(spark, sf_dir, "events")
+    est = hll_merged_distinct(ev)
+    exact = ev.groupBy(
+        F.col("event_type").alias("partition")
+    ).agg(F.count_distinct("user_id").alias("exact_distinct")).unionByName(
+        ev.agg(
+            F.lit("__all__").alias("partition"),
+            F.count_distinct("user_id").alias("exact_distinct"),
+        )
+    )
+    rel_err = F.abs(F.col("distinct_est") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return (
+        est.join(exact, "partition")
+        .select(
+            "partition", "n_rows", "distinct_est", "exact_distinct",
+            F.round(rel_err, 6).alias("rel_err"),
+            (rel_err <= 0.05).alias("bound_ok"),
+        )
+        .filter(F.col("bound_ok"))
+        .orderBy("partition")
+    )
 
 
 def _q_prefix_jaccard_near_dup(spark, sf_dir):
@@ -1522,8 +1609,12 @@ def _q_streaming_triples(spark, sf_dir):
     """Structured-Streaming ingest (rows-only): drain a pages backlog
     through the streaming S1->S4 path with availableNow, return the
     sink contents. Equality with the batch path is pytest-verified
-    (tests/test_streaming.py)."""
-    from kgspark import streaming
+    (tests/test_streaming.py) AND computed in-query (r5 directive 6):
+    each row carries batch_equal — the per-pred count from the BATCH
+    S1->S4 pipeline over the same landing dir must match the streaming
+    sink exactly — and the result is FILTERED on it, so a stream/batch
+    divergence flips the driver's row count."""
+    from kgspark import stages, streaming
     from kgspark.fixtures import pages_df
 
     tmp = _tmp_dir("stream_q")
@@ -1533,10 +1624,27 @@ def _q_streaming_triples(spark, sf_dir):
         streaming.stream_triples(streaming.stream_pages(spark, landing)),
         out, ckpt,
     )
+    batch = stages.raw_edges_of(
+        stages.extract(
+            stages.chunk(stages.extract_text(spark.read.parquet(landing)))
+        )
+    ).groupBy(F.col("type").alias("pred")).agg(
+        F.count("*").alias("__n_batch")
+    )
     return (
         spark.read.parquet(out)
         .groupBy("pred")
         .agg(F.count("*").alias("n_triples"))
+        .join(batch, "pred", "full_outer")
+        .select(
+            "pred",
+            "n_triples",
+            (
+                F.coalesce(F.col("n_triples"), F.lit(-1))
+                == F.coalesce(F.col("__n_batch"), F.lit(-2))
+            ).alias("batch_equal"),
+        )
+        .filter(F.col("batch_equal"))
         .orderBy("pred")
     )
 
@@ -1925,11 +2033,28 @@ def _q_kg_ppr(spark, sf_dir):
         .collect()
     )
     seed = deg[0]["n"]
-    ppr = personalized_pagerank(edges, [seed], iterations=10)
+    ppr = personalized_pagerank(edges, [seed], iterations=10).localCheckpoint(
+        eager=True
+    )
+    # SELF-CHECKING (r5 directive 6): PPR with teleport-to-source
+    # dangling handling conserves mass exactly like global PageRank;
+    # the filter on mass_ok makes a conservation bug flip the driver's
+    # row count, and seed_top pins the personalization itself (the
+    # seed must out-rank every other node at damping 0.85).
+    mass = ppr.agg(F.sum("rank").alias("__mass"))
+    top = ppr.agg(F.max_by("node", "rank").alias("__top"))
     return (
         ppr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(10)
+        .crossJoin(F.broadcast(mass))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "node", "rank",
+            (F.abs(F.col("__mass") - 1.0) < 1e-9).alias("mass_ok"),
+            (F.col("__top") == F.lit(seed)).alias("seed_top"),
+        )
+        .filter(F.col("mass_ok") & F.col("seed_top"))
     )
 
 
