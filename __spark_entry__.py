@@ -2208,26 +2208,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     what CORRECTNESS_r{N}.json can see. The window is packed for
     maximum evidence, in this priority:
 
-      1. oracle-backed queries the driver has never (or not last
-         round) verified — the 40 entries below that fell outside
-         the r3 window;
-      2. queries added or touched this round (new operators, fixed
-         scale paths) — their behavior changed, so they need a fresh
-         driver-green row;
-      3. a minimal KG rows-only smoke set (pipeline, traversal,
-         curation, lineage) so the UDF stages stay exercised;
-      4. slots to 50 topped up with stable long-green entries.
+      1. oracle-backed queries the driver has never verified — the 7
+         r4 additions that landed past the window (r5 directive 5);
+      2. queries added or touched THIS round (new operators, fixed
+         scale paths, self-checking conversions, shared-kernel users
+         of touched code) — their behavior changed, so they need a
+         fresh driver-green row;
+      3. a minimal KG rows-only smoke set (traversal, curation,
+         lineage) so the UDF stages stay exercised;
+      4. slots to 50 topped up with the oracle-backed entries whose
+         last driver-green row is OLDEST (r3 or earlier).
 
     Everything after slot 50 is the stable backlog: queries with a
-    driver-green row from a prior round and no code change since,
-    plus the remaining rows-only entries (each carrying a named
-    pytest). tools/check_oracle.py runs the IDENTICAL gate over the
-    full dict locally; BENCH/oracle_full_r4.json records that run.
-    Next round: rotate blocks 1/2 again — whatever the driver did
-    not see this round moves to the front.
+    driver-green row from a prior round (the whole r4 window re-
+    verified in CORRECTNESS_r04.json) and no code change since, plus
+    the remaining rows-only entries (each carrying a named pytest).
+    tools/check_oracle.py runs the IDENTICAL gate over the full dict
+    locally; BENCH/oracle_full_r5.json records that run.
+
+    ROTATION CHECKLIST (ADVICE r4): before shipping a round, (a) every
+    query whose underlying code changed this round is inside slots
+    1-50; (b) every never-driver-checked oracle query is inside; (c)
+    the full-dict check_oracle --json artifact is committed.
     """
     return {
-        # ---- 1. oracle-backed, unverified in the r3 driver window ----
+        # ---- 1. oracle-backed, never driver-verified (r4 adds) ----
+        "source_overlap": _q_source_overlap,
+        "per_source_sample": _q_per_source_sample,
+        "collocations_pmi": _q_collocations_pmi,
+        "embedding_norm_stats": _q_embedding_norm_stats,
+        "kmeans_inertia": _q_kmeans_inertia,           # also r5-fixed
+        "value_twap": _q_value_twap,
+        "lm_perplexity_buckets": _q_lm_perplexity_buckets,
+        # ---- 2. added/touched this round ----
+        # r5-fixed scale paths (oracle-backed)
+        "zipf_slope": _q_zipf_slope,
+        "semantic_dedup_pairs": _q_semantic_dedup,
+        # ivf_assign gained with_score: every consumer re-verified
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
+        "ann_ivf_vectorized_topk": _q_ann_ivf_vectorized,
+        "kmeans_clusters": _q_kmeans_clusters,
+        # kgspark/bpe.py touched (encode path added)
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        # rows-only queries made SELF-CHECKING this round (each filters
+        # on its own invariant, so the driver row count carries weight)
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_personalized_pagerank": _q_kg_ppr,
+        "hll_merged_distinct": _q_hll_merged_distinct,
+        "streaming_triples": _q_streaming_triples,
+        "streaming_source_stats": _q_streaming_source_stats,
+        # multimodal: real BMP/PPM codecs landed this round
+        "media_stats": _q_media_stats,
+        "media_frame_sample": _q_media_frames,
+        # ---- 3. KG rows-only smoke set ----
+        "kg_khop_related": _q_kg_khop,
+        "kg_curated": _q_kg_curated,
+        "kg_lineage": _q_kg_lineage,
+        # ---- 4. top-up: oracle-backed, last driver-green in r3 ----
+        "dedup_lastwins": _q_dedup_lastwins,
+        "endpoint_semi_join": _q_endpoint_semi_join,
+        "regional_revenue": _q_regional_revenue,
+        "top_customers": _q_top_customers,
+        "events_stats": _q_events_stats,
+        "top_events_per_user": _q_top_events_per_user,
+        "orders_rollup": _q_orders_rollup,
+        "active_inactive_customers": _q_active_inactive_customers,
+        "sessionize": _q_sessionize,
+        "data_quality_report": _q_data_quality_report,
+        "corpus_curation": _q_corpus_curation,
+        "snapshot_cdc_diff": _q_snapshot_cdc_diff,
+        "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
+        "weighted_sample": _q_weighted_sample,
+        "table_checksum": _q_table_checksum,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "char_entropy": _q_char_entropy,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "scd2_history": _q_scd2_history,
+        "user_value_ewma": _q_user_value_ewma,
+        "event_funnel": _q_event_funnel,
+        "value_moments": _q_value_moments,
+        "dsir_importance": _q_dsir_importance,
+        "value_equidepth_hist": _q_value_equidepth_hist,
+        "fuzzy_vocab_linkage": _q_fuzzy_vocab_linkage,
+        # ================= end of 50-slot driver window =================
+        # stable backlog: driver-green in CORRECTNESS_r04.json (the
+        # entire r4 window) or r3, code unchanged since; plus remaining
+        # rows-only entries (named pytests). All re-verified locally in
+        # BENCH/oracle_full_r5.json.
         "doc_fingerprint": _q_doc_fingerprint,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
@@ -2246,8 +2315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_filtered_topk": _q_ann_filtered_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
         "hybrid_fusion_topk": _q_hybrid_fusion,
         "keyword_bm25_topk": _q_keyword_bm25,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2256,7 +2323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "kmeans_clusters": _q_kmeans_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dataset_split": _q_dataset_split,
         "part_triangles": _q_part_triangles,
@@ -2268,68 +2334,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_join": _q_bloom_filter_join,
         "key_skew_stats": _q_key_skew_stats,
         "zorder_cells": _q_zorder_cells,
-        # ---- 2. added/touched this round ----
-        "ann_ivf_vectorized_topk": _q_ann_ivf_vectorized,
         "khop_join": _q_khop_join,
-        # ---- 3. KG rows-only smoke set (touched paths + new stage) ----
-        "kg_khop_related": _q_kg_khop,
-        "kg_curated": _q_kg_curated,
-        "kg_lineage": _q_kg_lineage,
-        # ---- 4. new round-4 operators (oracle-backed) ----
-        "semantic_dedup_pairs": _q_semantic_dedup,
         "source_mix_report": _q_source_mix,
         "degree_histogram": _q_degree_histogram,
         "negative_edges": _q_negative_edges,
-        "zipf_slope": _q_zipf_slope,
-        # ================= end of 50-slot driver window =================
-        # r4 additions past the window: oracle-verified locally via
-        # tools/check_oracle.py --json (BENCH/oracle_full_r4.json);
-        # rotate into the window next round
-        "source_overlap": _q_source_overlap,
-        "per_source_sample": _q_per_source_sample,
-        "collocations_pmi": _q_collocations_pmi,
-        "embedding_norm_stats": _q_embedding_norm_stats,
-        "kmeans_inertia": _q_kmeans_inertia,
-        "value_twap": _q_value_twap,
-        "lm_perplexity_buckets": _q_lm_perplexity_buckets,
-        # stable backlog: driver-green in r1-r3, unchanged since
         "kg_triples": _q_kg_triples,
         "kg_chunk_stats": _q_kg_chunk_stats,
-        "dedup_lastwins": _q_dedup_lastwins,
-        "endpoint_semi_join": _q_endpoint_semi_join,
-        "regional_revenue": _q_regional_revenue,
         "kg_top_connected": _q_kg_top_connected,
         "kg_canonical": _q_kg_canonical,
         "kg_graphrag_search": _q_kg_graphrag,
         "kg_graphrag_entities": _q_kg_graphrag_entities,
         "kg_graph_stats": _q_kg_graph_stats,
         "kg_canonical_lsh": _q_kg_canonical_lsh,
-        "top_customers": _q_top_customers,
-        "events_stats": _q_events_stats,
-        "top_events_per_user": _q_top_events_per_user,
-        "orders_rollup": _q_orders_rollup,
-        "active_inactive_customers": _q_active_inactive_customers,
         "approx_distinct_users": _q_approx_distinct,
-        "sessionize": _q_sessionize,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_encode": _q_bpe_encode,
-        "data_quality_report": _q_data_quality_report,
-        "corpus_curation": _q_corpus_curation,
-        "snapshot_cdc_diff": _q_snapshot_cdc_diff,
-        "prefix_jaccard_near_dup": _q_prefix_jaccard_near_dup,
-        "weighted_sample": _q_weighted_sample,
-        "hll_merged_distinct": _q_hll_merged_distinct,
-        "table_checksum": _q_table_checksum,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "char_entropy": _q_char_entropy,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "scd2_history": _q_scd2_history,
-        "user_value_ewma": _q_user_value_ewma,
-        "event_funnel": _q_event_funnel,
-        "value_moments": _q_value_moments,
-        "dsir_importance": _q_dsir_importance,
-        "value_equidepth_hist": _q_value_equidepth_hist,
-        "fuzzy_vocab_linkage": _q_fuzzy_vocab_linkage,
         "orders_trailing_window": _q_orders_trailing_window,
         "asof_last_view": _q_asof_last_view,
         "events_in_sessions": _q_events_in_sessions,
@@ -2342,18 +2359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": _q_doc_length_histogram,
         "events_json_props": _q_events_json_props,
         "exact_dedup": _q_exact_dedup,
-        "media_stats": _q_media_stats,
-        "media_frame_sample": _q_media_frames,
-        "streaming_triples": _q_streaming_triples,
-        "streaming_source_stats": _q_streaming_source_stats,
         "streaming_lang_windows": _q_streaming_lang_windows,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_join": _q_streaming_join,
         "kg_incremental": _q_kg_incremental,
         "incremental_dedup": _q_incremental_dedup,
-        "kg_pagerank": _q_kg_pagerank,
         "kg_communities": _q_kg_communities,
-        "kg_personalized_pagerank": _q_kg_ppr,
     }
 
 
