@@ -54,6 +54,18 @@ def get_spark(
             )),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle/broadcast compression codec. Default stays Spark's
+        # lz4 (fastest; right for CPU-bound single-node runs). On
+        # deployments where shuffle WRITE BANDWIDTH is the bottleneck —
+        # the r4 cluster profile pinned ~2.4 GB of index shuffle
+        # landing on ONE shared /tmp disk (BENCH/scaling_cluster.md) —
+        # zstd roughly halves the bytes hitting disk for this engine's
+        # text-heavy shuffles at a small CPU premium: export
+        # KGSPARK_IO_CODEC=zstd (the cluster scaling protocol does).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("KGSPARK_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -129,15 +129,25 @@ def compare(a: dict, b: dict, top: int) -> None:
 
 
 def main() -> None:
-    args = [x for x in sys.argv[1:] if not x.startswith("--")]
-    top = 25
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
-    if "--compare" in sys.argv:
-        other = sys.argv[sys.argv.index("--compare") + 1]
-        compare(parse(args[0]), parse(other), top)
+    # argparse (ADVICE r4): the hand-rolled split leaked option VALUES
+    # into the positional list (`--top 5 <log>` read '5' as the log)
+    import argparse  # noqa: PLC0415
+
+    p = argparse.ArgumentParser(
+        description="per-stage wall/shuffle/spill report from a Spark "
+        "event log; --compare <4N-log> prints per-segment N->4N "
+        "efficiency"
+    )
+    p.add_argument("log", help="event log file (level N)")
+    p.add_argument("--top", type=int, default=25,
+                   help="stages to list (default 25)")
+    p.add_argument("--compare", metavar="LOG_4N",
+                   help="second event log (level 4N) for efficiency")
+    ns = p.parse_args()
+    if ns.compare:
+        compare(parse(ns.log), parse(ns.compare), ns.top)
         return
-    report(parse(args[0]), top)
+    report(parse(ns.log), ns.top)
 
 
 if __name__ == "__main__":
