@@ -63,6 +63,16 @@ def run_once(sf_dir: str, cpus: int, zip_path: Path, n_pages: int,
         # r1-r3 readings.
         env.setdefault("KGSPARK_AQE_INITIAL_FACTOR", "4")
         env.setdefault("KGSPARK_AQE_INITIAL_MIN", "64")
+        # shuffle bytes, not CPU, bound this deployment's index build:
+        # every executor's shuffle write lands on ONE shared /tmp disk
+        # (BENCH/profile_cluster.md). zstd cuts the index shuffle from
+        # 2,389 MB to 922 MB (-61%, event-logged) and moved measured
+        # pipeline+index N->4N efficiency 0.78 -> 0.90 (r5 codec A/B,
+        # BENCH/scaling_cluster.md); at the disk-unbound 1-executor
+        # level the codecs are within noise, so zstd is strictly the
+        # right default for the disk-shared regime. Single-JVM modes
+        # keep lz4 (CPU-bound; zstd's compression CPU is pure cost).
+        env.setdefault("KGSPARK_IO_CODEC", "zstd")
     if mode == "cluster":
         # REAL executor JVMs: local-cluster[n,2,mem] spawns n separate
         # executor processes with 2 cores each — each executor owns its
