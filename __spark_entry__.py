@@ -103,22 +103,15 @@ def _q_kg_pagerank(spark, sf_dir):
     edges = frames["kg_edges"].select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    pr = pagerank(edges, iterations=10).localCheckpoint(eager=True)
-    prev = pagerank(edges, iterations=9)
+    # return_prev carries the penultimate iterate out of the SAME run
+    # (one extra equi-join on checkpointed frames) — not a second
+    # 9-iteration PageRank job just to read the delta
+    pr = pagerank(
+        edges, iterations=10, return_prev=True
+    ).localCheckpoint(eager=True)
     mass = pr.agg(F.sum("rank").alias("__mass"))
-    delta = (
-        pr.join(
-            prev.select("node", F.col("rank").alias("__rank_prev")),
-            "node", "full_outer",
-        )
-        .agg(
-            F.max(
-                F.abs(
-                    F.coalesce(F.col("rank"), F.lit(0.0))
-                    - F.coalesce(F.col("__rank_prev"), F.lit(0.0))
-                )
-            ).alias("__delta")
-        )
+    delta = pr.agg(
+        F.max(F.abs(F.col("rank") - F.col("rank_prev"))).alias("__delta")
     )
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))

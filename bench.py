@@ -470,22 +470,23 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
         timed("bpe_train", bpe_train_seg)
 
         # r5-new: encode the corpus with its trained merges — the step
-        # a pipeline runs over 100% of bytes. Trains once (5 merges,
-        # same as bpe_train_seg), then times the mapInPandas encoder
-        # (the production-vocabulary path, forced here so the bench
+        # a pipeline runs over 100% of bytes. Training happens OUTSIDE
+        # the timed closure (it is already timed as bpe_train_seg);
+        # the segment measures only the mapInPandas encoder (the
+        # production-vocabulary path, forced here so the bench
         # exercises the Arrow-batched kernel, not the 5-rule regexp
         # chain).
-        def bpe_encode_seg():
-            from kgspark.bpe import bpe_encode, bpe_train  # noqa: PLC0415
+        from kgspark.bpe import bpe_encode, bpe_train  # noqa: PLC0415
 
-            merges = [
-                (r["left"], r["right"])
-                for r in bpe_train(docs, n_merges=5)
-                .orderBy("rank").collect()
-            ]
-            bpe_encode(docs, merges, vectorized=True).agg(
-                F.sum("n_bpe_tokens")
-            ).collect()
+        bpe_merges_for_encode = [
+            (r["left"], r["right"])
+            for r in bpe_train(docs, n_merges=5).orderBy("rank").collect()
+        ]
+
+        def bpe_encode_seg():
+            bpe_encode(
+                docs, bpe_merges_for_encode, vectorized=True
+            ).agg(F.sum("n_bpe_tokens")).collect()
 
         timed("bpe_encode", bpe_encode_seg)
 

@@ -75,9 +75,12 @@ def bpe_train(
     vocab = (
         word_freq_table(documents, text_col)
         .select(
-            # "lower" -> "l o w e r": symbols space-joined
+            # "lower" -> "l o w e r": symbols space-joined. \z not $:
+            # Java's $ also matches before a final line terminator,
+            # which would glue a trailing U+2028/U+2029/U+0085 to the
+            # last symbol (see bpe_encode's splitter)
             F.concat_ws(
-                " ", F.split(F.col("word"), "(?!$)")
+                " ", F.split(F.col("word"), r"(?!\z)")
             ).alias("syms"),
             "n",
         )
@@ -117,7 +120,7 @@ def bpe_train(
             + _java_quote(left)
             + " "
             + _java_quote(right)
-            + "(?=[ ]|$)"
+            + r"(?=[ ]|\z)"
         )
         vocab = vocab.select(
             F.regexp_replace(
@@ -169,21 +172,32 @@ def bpe_encode(
     created strictly before r — a rank-r adjacency can never be
     CREATED by a later merge, so full application in rank order finds
     exactly the pairs greedy-by-rank finds (pytest asserts parity on
-    both fixed and randomized corpora)."""
+    both fixed and randomized corpora).
+
+    PRECONDITION: `merge_rules` must be a training-order list (what
+    `bpe_train` emits, ordered by rank) — the equivalence argument
+    above is a property OF that order. A hand-built list where an
+    earlier rule's parts are only created by a later rule (e.g.
+    [("ab","c"), ("a","b")]) is not a valid BPE merge table, and the
+    two physical paths may legitimately disagree on it."""
     if vectorized is None:
         vectorized = len(merge_rules) > BPE_LITERAL_MAX_RULES
     if vectorized:
         return _bpe_encode_vectorized(documents, merge_rules, text_col)
 
     def _word_token_count(w):
-        col = F.concat_ws(" ", F.split(w, "(?!$)"))
+        # \z (end of INPUT), not $: Java's $ also matches BEFORE a
+        # final line terminator (U+2028/U+2029/U+0085 survive the
+        # ASCII-only \s+ collapse), which would glue a trailing one to
+        # the last symbol and diverge from the greedy per-char encoder
+        col = F.concat_ws(" ", F.split(w, r"(?!\z)"))
         for left, right in merge_rules:
             pat = (
                 "(^|[ ])"
                 + _java_quote(left)
                 + " "
                 + _java_quote(right)
-                + "(?=[ ]|$)"
+                + r"(?=[ ]|\z)"
             )
             col = F.regexp_replace(
                 col, pat, "$1" + _repl_quote(left + right)
@@ -266,7 +280,13 @@ def _bpe_encode_vectorized(
         for pdf in batches:
             counts = []
             for t in pdf[text_col]:
-                norm = ws.sub(" ", ("" if t is None else t).lower()).strip()
+                # strip(' ') — not bare strip(): F.trim removes only
+                # spaces, and Python's default strip() would eat the
+                # unicode whitespace (NBSP, NEL, U+2028) that Java's
+                # ASCII-only \s deliberately leaves in place
+                norm = ws.sub(
+                    " ", ("" if t is None else t).lower()
+                ).strip(" ")
                 counts.append(
                     sum(word_tokens(w) for w in norm.split(" ") if w)
                 )

@@ -150,6 +150,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    return_prev: bool = False,
 ) -> DataFrame:
     """Distributed PageRank by power iteration over DataFrames — the
     companion graph-analytics op to connected_components, same
@@ -169,6 +170,12 @@ def pagerank(
     dst — the same two exchanges per round as any power iteration;
     hot (high-in-degree) nodes concentrate only their AGG key, which
     partial aggregation absorbs map-side.
+
+    With `return_prev=True` the result carries a `rank_prev` column —
+    the penultimate iterate — so a caller can read the convergence
+    delta from ONE run instead of re-running the whole iteration at
+    k-1. Free: every iterate is already an eagerly-checkpointed frame,
+    so holding the previous one is a reference, not extra compute.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -179,11 +186,17 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        return (
+            out.withColumn("rank_prev", F.col("rank"))
+            if return_prev else out
+        )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    prev = ranks
     for _ in range(iterations):
+        prev = ranks
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank", "outdeg")
@@ -211,6 +224,12 @@ def pagerank(
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
+        )
+    if return_prev:
+        # both frames are checkpointed and keyed by the same `nodes`
+        # set, so this is one equi-join on identical key domains
+        return ranks.join(
+            prev.select("node", F.col("rank").alias("rank_prev")), "node"
         )
     return ranks
 

@@ -3359,6 +3359,12 @@ def semantic_dedup_pairs(
         assigned = assigned.withColumnRenamed("vec_id", id_col)
     keys = ["cell"]
     if max_cell_rows is not None:
+        # the cap path reads `assigned` three times (the size agg and
+        # both self-join sides) and each read would re-run the full
+        # pandas-UDF assignment matmul at production dims — checkpoint
+        # it once, exactly the iterative-op discipline pagerank uses.
+        # The cap-off (oracle) path keeps the pure lazy plan.
+        assigned = assigned.localCheckpoint(eager=True)
         sizes = assigned.groupBy("cell").agg(
             F.ceil(F.count("*") / F.lit(max_cell_rows)).cast("int").alias("__n_sub")
         )

@@ -196,7 +196,18 @@ def _decode_ppm(content: bytes):
     w, h, maxval = fields
     if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError("unsupported PPM")
-    pos += 1  # single whitespace byte after maxval
+    # exactly one whitespace byte separates maxval from the raster;
+    # verify it IS whitespace (a bare pos+=1 would silently shift the
+    # raster on a malformed header) and absorb the CRLF some writers
+    # emit — treating \r\n as the one separator misreads only the
+    # pathological legit file whose raster intentionally starts with
+    # 0x0A after a lone-\r separator, vs every CRLF-header file
+    # decoding shifted by one byte
+    if not content[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header")
+    pos += 1
+    if content[pos - 1 : pos] == b"\r" and content[pos : pos + 1] == b"\n":
+        pos += 1
     if pos + 3 * w * h > len(content):
         raise ValueError("truncated PPM")
     return np.frombuffer(

@@ -226,3 +226,26 @@ def test_bpe_encode_counts_reconcile_with_training(spark):
     for d, (n_words, n_chars) in words.items():
         assert none[d] == n_chars
         assert n_words <= enc[d] <= n_chars
+
+
+def test_bpe_encode_unicode_whitespace_parity(spark):
+    """Java \\s is ASCII-only and F.trim strips only spaces, so NBSP /
+    NEL / U+2028 are WORD BYTES, not separators — and must be treated
+    identically by both physical paths (a bare Python .strip() in the
+    vectorized twin would silently eat them at the edges)."""
+    docs = spark.createDataFrame(
+        [
+            (0, " low lower ", "en"),
+            (1, "", "en"),
+            (2, " low \t lower ", "en"),
+        ],
+        DOCS_DDL,
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    lit = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=False).collect()}
+    vec = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges, vectorized=True).collect()}
+    assert lit == vec
+    # the lone NEL is a 1-symbol word on both paths, never zero
+    assert lit[1] == 1
