@@ -414,3 +414,22 @@ def test_negative_edges_are_nonedges_and_deterministic(spark):
         for r in negative_edges(e, k=10, n_buckets=4).collect()
     }
     assert again == pairs
+
+
+def test_pagerank_return_prev_matches_separate_run(spark):
+    """return_prev carries the penultimate iterate out of one run; it
+    must equal an independent (iterations-1) run node-for-node, and
+    the rank column must be unchanged by the option."""
+    from kgspark.cc import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    both = pagerank(e, iterations=6, return_prev=True).collect()
+    cur = {r["node"]: r["rank"]
+           for r in pagerank(e, iterations=6).collect()}
+    prev = {r["node"]: r["rank"]
+            for r in pagerank(e, iterations=5).collect()}
+    assert len(both) == len(cur)
+    for r in both:
+        assert r["rank"] == pytest.approx(cur[r["node"]], abs=1e-12)
+        assert r["rank_prev"] == pytest.approx(prev[r["node"]], abs=1e-12)

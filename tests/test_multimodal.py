@@ -217,3 +217,18 @@ def test_resize_pixels_nearest_neighbor_hand_checked():
     # each source pixel becomes a 2x2 block
     assert up[0, 0, 0] == 0 and up[0, 3, 0] == 1
     assert up[3, 0, 0] == 2 and up[3, 3, 0] == 3
+
+
+def test_ppm_crlf_separator_and_malformed_separator():
+    """A CRLF after maxval (what Windows-convention writers emit) must
+    not shift the raster by one byte, and a NON-whitespace byte there
+    is a malformed header, not pixel data."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    blob = mm.encode_ppm(px)
+    crlf = blob.replace(b"255\n", b"255\r\n", 1)
+    assert np.array_equal(mm._decode_ppm(crlf), px)
+    with pytest.raises(ValueError):
+        mm._decode_ppm(blob.replace(b"255\n", b"255X", 1))
